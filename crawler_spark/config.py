@@ -1,0 +1,113 @@
+"""Engine / task / rule configuration.
+
+Mirrors the reference's configuration surface as plain dataclasses:
+
+- ``TaskConfig``  ≙ collect.Task / collect.Options
+  (reference collect/task.go:16-37, collect/option.go:9-27)
+- ``RuleSpec``    ≙ collect.Rule inside RuleTree.Trunk
+  (reference collect/parse.go:4-13) — but expressed as *data*
+  (regex + emit spec), not functions, so one vectorized parse UDF can
+  interpret every rule.
+- ``EngineConfig`` ≙ engine options (WorkCount, seeds, …)
+  (reference engine/option.go) plus the Spark-specific knobs the Go
+  engine has no analogue for (partitions, batch size, bloom sizing).
+
+Defaults follow the reference: MaxDepth=5, Reload=false, WaitTime=5
+(collect/option.go:22-27).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class RuleSpec:
+    """One parse rule: what links to emit and/or what fields to extract.
+
+    Interprets the union of the reference's rule shapes:
+    - link emission: ``link_regex`` group 1 = href, optional group 2 =
+      a carried value stored into ``temp[temp_key]`` of the *emitted*
+      request (reference parsebook.go:65-88 carries ``book_name``).
+    - ``url_prefix`` prepended to extracted hrefs
+      (reference parsebook.go:56: "https://book.douban.com" + href).
+    - field extraction: ``field_regexes`` field → single-capture regex;
+      first match's group 1 or "" (reference parsebook.go:117-124
+      ExtractStr); fields in ``int_fields`` go through Go
+      strconv.Atoi semantics (non-int → 0, parsebook.go:99).
+    - boolean match: ``match_regex`` non-empty → emit the request URL
+      as a single item iff the body matches (reference
+      parseurl.go:61-78 GetSunRoom).
+    """
+
+    name: str
+    link_regex: str = ""
+    url_prefix: str = ""
+    next_rule: str = ""
+    next_priority: int = 0
+    emit_reload: bool = False
+    temp_key: str = ""  # temp key filled from link_regex group 2
+    item_fields: tuple[str, ...] = ()
+    field_regexes: dict[str, str] = field(default_factory=dict)
+    int_fields: tuple[str, ...] = ()  # fields with strconv.Atoi semantics
+    temp_fields: dict[str, str] = field(default_factory=dict)  # item field → temp key
+    match_regex: str = ""
+
+
+@dataclass(frozen=True)
+class TaskConfig:
+    """Crawl-task configuration (reference collect/task.go:23-37).
+
+    ``budget_count``/``budget_window_s`` discretize the reference's
+    multi-tier token-bucket limiter (limiter/limiter.go:16-49): the
+    slowest tier dominates (MultiLimiter.Wait waits on every tier
+    sorted slow→fast, limiter.go:22-27,41-44), so a single
+    (count, window) pair expresses the effective rate.
+    """
+
+    name: str
+    seeds: tuple = ()  # tuple of (url, priority, rule) triples
+    max_depth: int = 5
+    reload: bool = False
+    wait_time: int = 5
+    budget_count: int = 0  # 0 = unlimited (no politeness cap)
+    budget_window_s: int = 60
+    rules: tuple[RuleSpec, ...] = ()
+
+    def rule_map(self) -> dict[str, RuleSpec]:
+        return {r.name: r for r in self.rules}
+
+    def host_budget_per_round(self, round_seconds: float) -> int:
+        """Per-host fetch budget for one round of ``round_seconds``.
+
+        floor(round_seconds × rate) with rate = budget_count /
+        budget_window_s (the binding politeness tier); minimum 1 so
+        rounds always progress (the token bucket always eventually
+        grants, limiter.go:32-39).
+        """
+        if self.budget_count <= 0:
+            return 1 << 30
+        rate = self.budget_count / float(self.budget_window_s)
+        return max(1, int(round_seconds * rate))
+
+
+@dataclass
+class EngineConfig:
+    """Engine-wide knobs.
+
+    Spark-scale knobs have no Go analogue; Go analogues noted where
+    they exist (WorkCount=5 at cmd/worker/worker.go:128 maps to
+    executor parallelism, not an engine option here).
+    """
+
+    batch_size: int = 1024  # requests fetched per round (0/neg = all eligible)
+    round_seconds: float = 60.0  # politeness discretization window
+    num_partitions: int = 32  # host-hash partitions for frontier/seen
+    bloom_capacity: int = 1 << 20  # expected seen-set size per build
+    bloom_fpp: float = 0.01
+    hot_host_share: float = 0.10  # frontier share above which a host is salted
+    max_salts: int = 8
+    max_rounds: int = 1000
+    checkpoint_dir: str = ""  # empty = no checkpointing
+    checkpoint_every: int = 1  # rounds between snapshots
+    use_bloom: bool = True

@@ -1,0 +1,105 @@
+"""Broadcastable Bloom filter for the URL-seen set.
+
+Replaces the reference's mutex-serialized global ``Visited``
+map (engine/schedule.go:126-127, 333-348) as the *prefilter* in front
+of the exact anti-join: frontier rows whose hash is definitely-not-seen
+skip the seen-table shuffle entirely; only maybe-seen rows take the
+exact left-anti join. No false negatives (every marked hash is added),
+so false positives cost only a redundant exact check — never a lost
+URL.
+
+PySpark exposes no public bloom aggregate (Scala
+DataFrameStatFunctions.bloomFilter has no Python mirror in 4.1), so
+the filter is a numpy bit array: k md5-derived probes, built
+incrementally from each round's (bounded) batch of hashes on the
+driver and broadcast as bytes. Membership testing is a vectorized
+pandas UDF over Arrow batches.
+
+Sizing: m = -n·ln(p)/ln(2)², k = m/n·ln(2) (standard optimum); at
+10^10 URLs and p=0.01 that's ~12 GB — at that scale you shard the
+filter by pmod(hash, P) per partition and broadcast only the shard map
+(same API: ``BloomFilter.merge`` over shards); the sandbox build keeps
+one array.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import numpy as np
+import pandas as pd
+
+
+class BloomFilter:
+    def __init__(self, capacity: int, fpp: float = 0.01, bits: np.ndarray | None = None):
+        self.capacity = capacity
+        self.fpp = fpp
+        m = max(64, int(-capacity * math.log(fpp) / (math.log(2) ** 2)))
+        self.m = ((m + 63) // 64) * 64
+        self.k = max(1, int(round(self.m / capacity * math.log(2))))
+        self.bits = bits if bits is not None else np.zeros(self.m // 8, dtype=np.uint8)
+
+    @staticmethod
+    def _probes(value: str, k: int, m: int) -> list[int]:
+        # double hashing from one md5: h_i = h1 + i*h2 (Kirsch-Mitzenmacher)
+        d = hashlib.md5(value.encode("utf-8")).digest()
+        h1 = int.from_bytes(d[:8], "little")
+        h2 = int.from_bytes(d[8:], "little") | 1
+        return [((h1 + i * h2) % m) for i in range(k)]
+
+    def add(self, value: str) -> None:
+        for p in self._probes(value, self.k, self.m):
+            self.bits[p >> 3] |= 1 << (p & 7)
+
+    def add_many(self, values) -> None:
+        for v in values:
+            self.add(v)
+
+    def might_contain(self, value: str) -> bool:
+        return all(
+            self.bits[p >> 3] & (1 << (p & 7)) for p in self._probes(value, self.k, self.m)
+        )
+
+    def contains_series(self, values: pd.Series) -> pd.Series:
+        bits, k, m = self.bits, self.k, self.m
+        return values.map(
+            lambda v: v is not None
+            and all(bits[p >> 3] & (1 << (p & 7)) for p in BloomFilter._probes(v, k, m))
+        )
+
+    def merge(self, other: "BloomFilter") -> "BloomFilter":
+        assert self.m == other.m and self.k == other.k
+        return BloomFilter(self.capacity, self.fpp, np.bitwise_or(self.bits, other.bits))
+
+    def to_bytes(self) -> bytes:
+        return self.bits.tobytes()
+
+    @classmethod
+    def from_bytes(cls, capacity: int, fpp: float, data: bytes) -> "BloomFilter":
+        return cls(capacity, fpp, np.frombuffer(data, dtype=np.uint8).copy())
+
+
+def split_by_bloom(df, hash_col: str, bloom: BloomFilter, spark):
+    """Split df into (maybe_seen, definitely_new) using a broadcast bloom.
+
+    ``definitely_new`` rows never touch the seen-table join — this is
+    the shuffle-avoidance path that makes the seen check scale.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import BooleanType
+
+    bc = spark.sparkContext.broadcast((bloom.capacity, bloom.fpp, bloom.to_bytes()))
+
+    @pandas_udf(BooleanType())
+    def maybe_seen(values: pd.Series) -> pd.Series:
+        cap, fpp, data = bc.value
+        bf = BloomFilter.from_bytes(cap, fpp, data)
+        return bf.contains_series(values)
+
+    tagged = df.withColumn("_maybe_seen", maybe_seen(F.col(hash_col)))
+    return (
+        tagged.filter(F.col("_maybe_seen")).drop("_maybe_seen"),
+        tagged.filter(~F.col("_maybe_seen")).drop("_maybe_seen"),
+    )

@@ -1,0 +1,46 @@
+"""SparkSession factory tuned for the frontier engine.
+
+Single place where scale-relevant Spark conf lives: AQE on (runtime
+re-plan + skew-join mitigation), Arrow on (every UDF in this engine is
+pandas/Arrow-vectorized — the input_hint forbids per-row Python), and
+shuffle partitions sized to the executor core count rather than the
+200 default (at 100 TB you'd size this to cluster cores × 2-3 and rely
+on AQE coalescing; locally we match local[N]).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "crawler_spark",
+    cores: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    if cores is None:
+        cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    if shuffle_partitions is None:
+        shuffle_partitions = cores
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cores}]")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.default.parallelism", str(cores))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+    )
+    if extra_conf:
+        for k, v in extra_conf.items():
+            builder = builder.config(k, str(v))
+    return builder.getOrCreate()

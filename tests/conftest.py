@@ -1,0 +1,24 @@
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from crawler_spark.session import get_spark  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark(
+        "crawler_spark_tests",
+        cores=int(os.environ.get("TEST_CORES", "4")),
+        shuffle_partitions=4,
+    )
+    yield s
+    s.stop()
+
+
+@pytest.fixture()
+def workdir(tmp_path):
+    return str(tmp_path / "work")

@@ -109,5 +109,11 @@ class EngineConfig:
     max_salts: int = 8
     max_rounds: int = 1000
     checkpoint_dir: str = ""  # empty = no checkpointing
-    checkpoint_every: int = 1  # rounds between snapshots
+    checkpoint_every: int = 8  # rounds between parquet snapshots
+    # (localCheckpoint truncates lineage in between; smaller = finer
+    # resume granularity, more IO)
     use_bloom: bool = True
+    # engage the bloom prefilter only once the seen set is at least
+    # this large — below it the plain JVM anti-join is cheaper than a
+    # Python/Arrow bloom round-trip
+    bloom_min_seen: int = 50_000

@@ -105,9 +105,10 @@ def parse_page(spec: RuleSpec, url: str, text: str, temp: dict | None):
         items.append(item)
     if spec.match_regex:
         if re.search(spec.match_regex, text):
-            # reference GetSunRoom emits the request URL itself
-            # (parseurl.go:72-77)
-            items.append({"url": url})
+            # reference GetSunRoom emits the request URL itself as the
+            # item (parseurl.go:72-77); keyed "match_url" so it cannot
+            # collide with the envelope's url field
+            items.append({"match_url": url})
     return requests, items
 
 

@@ -1,0 +1,194 @@
+"""Document deduplication operators for training-data pipelines.
+
+All operators are pure DataFrame compositions (JVM expressions inside
+whole-stage codegen — no Python in the hot path) and every one has an
+ANSI-SQL twin in ``crawler_spark.queries`` runnable by DuckDB, so the
+driver's oracle can value-check them.
+
+Shared text model (identical across Spark and the SQL oracles):
+    tokens(text)   = regexp_extract_all(lower(text), '[a-z0-9]+')
+    shingles(text) = distinct 3-gram word shingles joined by ' '
+
+Operators:
+- exact_dedup          md5(text) group-by, keep min doc_id
+- ngram_jaccard_pairs  all-pairs Jaccard over 3-gram shingles via
+                       shingle-explode + self-join (shuffle on the
+                       shingle key; at 100 TB you'd pre-filter by
+                       MinHash bands — see minhash_lsh_pairs — so the
+                       quadratic verify only runs inside tiny buckets)
+- minhash_lsh_pairs    k md5 minhashes → bands → bucket-join candidate
+                       pairs (the scale path: candidate generation is
+                       linear in corpus size, pairs only within equal
+                       band buckets)
+- simhash_buckets      32-bit SimHash per doc from token md5 bit votes
+
+The reference crawler has no dedup beyond the URL-seen set; these are
+the corpus-level operators a crawl→training-data pipeline needs
+(brief requirement), built on the same hashing primitives as the
+frontier's seen set (md5, collect/request.go:95-98).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+TOKENS_EXPR = "regexp_extract_all(lower(text), '[a-z0-9]+', 0)"
+# 3-gram word shingles, distinct, space-joined
+SHINGLES_EXPR = (
+    "array_distinct(transform(sequence(1, greatest(size({t}) - 2, 0)),"
+    " i -> concat_ws(' ', slice({t}, i, 3))))"
+).format(t=TOKENS_EXPR)
+
+
+def with_shingles(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    return docs.select(id_col, F.expr(SHINGLES_EXPR).alias("shingles"))
+
+
+def exact_dedup(docs: DataFrame) -> DataFrame:
+    """Exact dedup: content hash → first (min doc_id) survivor."""
+    return (
+        docs.groupBy(F.md5(F.col("text")).alias("text_hash"))
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count("*").alias("n_dups"))
+    )
+
+
+def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
+    """All-pairs n-gram Jaccard ≥ threshold (a < b).
+
+    Explode shingles → self-join on shingle → |A∩B| per pair →
+    J = common / (|A| + |B| - common). The shingle join shuffles on
+    the shingle key, so common shingles dominate cost — at scale run
+    minhash_lsh_pairs first and verify only candidates.
+    """
+    sh = with_shingles(docs)
+    sizes = sh.select("doc_id", F.size("shingles").alias("n_shingles"))
+    ex = sh.select("doc_id", F.explode("shingles").alias("shingle"))
+    a = ex.alias("a")
+    b = ex.alias("b")
+    common = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("nb"))
+    return (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("common") / (F.col("na") + F.col("nb") - F.col("common")), 4
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def minhash_signature(docs: DataFrame, k: int = 8) -> DataFrame:
+    """k MinHash values per doc: min over shingles of md5(i || shingle).
+
+    Lexicographic min of the md5 hex string == numeric min of the
+    128-bit hash; identical in any SQL engine.
+    """
+    ex = with_shingles(docs).select("doc_id", F.explode("shingles").alias("shingle"))
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(str(i)), F.lit("|"), F.col("shingle")))).alias(
+            f"mh{i}"
+        )
+        for i in range(k)
+    ]
+    return ex.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame, k: int = 8, bands: int = 4
+) -> DataFrame:
+    """LSH candidate pairs: docs sharing any band of k/bands minhashes.
+
+    Scale path for near-dup dedup: signature build is one pass, band
+    bucketing is a groupBy on (band_id, band_key) — candidate pairs
+    are generated only inside equal buckets, never all-pairs.
+    """
+    rows_per_band = k // bands
+    sig = minhash_signature(docs, k)
+    band_cols = []
+    for bidx in range(bands):
+        cols = [f"mh{bidx * rows_per_band + j}" for j in range(rows_per_band)]
+        band_cols.append(
+            F.struct(
+                F.lit(bidx).alias("band_id"),
+                F.md5(F.concat_ws("|", *cols)).alias("band_key"),
+            )
+        )
+    banded = sig.select(
+        "doc_id", F.explode(F.array(*band_cols)).alias("band")
+    ).select("doc_id", "band.band_id", "band.band_key")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+def _simhash_bit_exprs(nbits: int = 32):
+    """SQL expressions (dialect-neutral) for SimHash bit votes.
+
+    Bit j of token t = bit (3 - j%4) of hex digit j//4 of md5(t),
+    extracted with instr/substr arithmetic that Spark SQL and DuckDB
+    evaluate identically.
+    """
+    exprs = []
+    for j in range(nbits):
+        digit = f"(instr('0123456789abcdef', substr(md5(tok), {j // 4 + 1}, 1)) - 1)"
+        bit = f"(cast(floor({digit} / {2 ** (3 - j % 4)}) as int) % 2)"
+        exprs.append(f"sum(case when {bit} = 1 then 1 else -1 end)")
+    return exprs
+
+
+def simhash(docs: DataFrame, nbits: int = 32) -> DataFrame:
+    """32-bit SimHash per doc (bit j set iff the token-vote sum > 0)."""
+    ex = docs.select(
+        "doc_id", F.explode(F.expr(TOKENS_EXPR)).alias("tok")
+    )
+    votes = ex.groupBy("doc_id").agg(
+        *[F.expr(e).alias(f"v{j}") for j, e in enumerate(_simhash_bit_exprs(nbits))]
+    )
+    acc = F.lit(0).cast("long")
+    for j in range(nbits):
+        acc = acc + F.when(F.col(f"v{j}") > 0, F.lit(1 << j)).otherwise(0)
+    return votes.select("doc_id", acc.alias("simhash"))
+
+
+def simhash_sql(table: str = "documents", nbits: int = 32) -> str:
+    """DuckDB/ANSI twin of ``simhash`` (same bit math, same hashing)."""
+    votes = ",\n      ".join(
+        f"{e} AS v{j}" for j, e in enumerate(_simhash_bit_exprs(nbits))
+    )
+    bits = " + ".join(
+        f"(CASE WHEN v{j} > 0 THEN CAST({1 << j} AS BIGINT) ELSE 0 END)"
+        for j in range(nbits)
+    )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+      FROM {table}
+    ), votes AS (
+      SELECT doc_id, {votes} FROM toks GROUP BY doc_id
+    )
+    SELECT doc_id, {bits} AS simhash FROM votes
+    """

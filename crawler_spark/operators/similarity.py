@@ -1,0 +1,146 @@
+"""Similarity search over embedding columns (array<float>).
+
+- brute_force_topk: exact cosine top-k per query — the correctness
+  baseline. Dot product / norms via built-in higher-order functions
+  (aggregate/zip_with) entirely JVM-side; the query set is broadcast
+  (small) so the big side never shuffles.
+- ivf_topk: coarse-quantized variant — probe only candidates in the
+  query's partition (here the ``label`` column stands in for the IVF
+  cell id; on a real corpus you'd assign cells with a k-means pass).
+  This is the 100 TB path: candidate generation is an equi-join on the
+  cell id, pruning ~(1 - 1/cells) of the corpus per query.
+- lsh_bucket_topk: random-hyperplane signs via deterministic md5-based
+  pseudo-projections — bucket equi-join candidates, exact re-rank.
+
+Scores are computed in double and rounded to 6 dp so the DuckDB
+oracle (list_cosine_similarity) hashes identically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+DOT_EXPR = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> cast(x as double) * cast(y as double)),"
+    " cast(0 as double), (acc, v) -> acc + v)"
+)
+NORM_EXPR = (
+    "sqrt(aggregate({a}, cast(0 as double),"
+    " (acc, v) -> acc + cast(v as double) * cast(v as double)))"
+)
+
+
+def cosine_col(a: str, b: str):
+    dot = F.expr(DOT_EXPR.format(a=a, b=b))
+    na = F.expr(NORM_EXPR.format(a=a))
+    nb = F.expr(NORM_EXPR.format(a=b))
+    return dot / (na * nb)
+
+
+def brute_force_topk(
+    emb: DataFrame, n_queries: int = 5, k: int = 3
+) -> DataFrame:
+    """Exact cosine top-k: queries = vec_id < n_queries vs all others."""
+    q = emb.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    c = emb.select(F.col("vec_id").alias("cand_id"), F.col("embedding").alias("cv"))
+    scored = (
+        c.join(F.broadcast(q), F.col("cand_id") != F.col("query_id"))
+        .withColumn("score", F.round(cosine_col("qv", "cv"), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("cand_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "cand_id", "score", "rank")
+    )
+
+
+def ivf_topk(
+    emb: DataFrame, n_queries: int = 5, k: int = 3, cell_col: str = "label"
+) -> DataFrame:
+    """IVF-style ANN: probe only the query's cell (candidate pruning
+    by equi-join on the cell id), exact cosine re-rank inside."""
+    q = emb.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        F.col(cell_col).alias("qcell"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("embedding").alias("cv"),
+        F.col(cell_col).alias("ccell"),
+    )
+    scored = (
+        c.join(
+            F.broadcast(q),
+            (F.col("ccell") == F.col("qcell"))
+            & (F.col("cand_id") != F.col("query_id")),
+        )
+        .withColumn("score", F.round(cosine_col("qv", "cv"), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("cand_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "cand_id", "score", "rank")
+    )
+
+
+def _hyperplane_sign_expr(dim_idx: int, plane: int, emb_col: str) -> str:
+    """Deterministic pseudo-random hyperplane component: weight for
+    (plane, dim) derived from md5 — same formula usable in DuckDB."""
+    return (
+        f"(instr('0123456789abcdef', substr(md5('{plane}_' || cast({dim_idx} as string)), 1, 1)) - 8.5)"
+    )
+
+
+def lsh_signature(emb: DataFrame, n_planes: int = 8) -> DataFrame:
+    """Sign bits of dot(embedding, pseudo-random hyperplanes) packed
+    into an int bucket key."""
+    acc = F.lit(0)
+    for p in range(n_planes):
+        dot = F.expr(
+            "aggregate(transform(sequence(0, size(embedding) - 1),"
+            f" i -> cast(embedding[i] as double) *"
+            f" (instr('0123456789abcdef', substr(md5('{p}_' || cast(i as string)), 1, 1)) - 8.5)),"
+            " cast(0 as double), (a, v) -> a + v)"
+        )
+        acc = acc + F.when(dot > 0, F.lit(1 << p)).otherwise(0)
+    return emb.select("vec_id", "embedding", acc.alias("bucket"))
+
+
+def lsh_bucket_topk(emb: DataFrame, n_queries: int = 5, k: int = 3, n_planes: int = 8) -> DataFrame:
+    """LSH-bucketed ANN: candidates share the hyperplane-sign bucket."""
+    sig = lsh_signature(emb, n_planes)
+    q = sig.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        F.col("bucket").alias("qb"),
+    )
+    c = sig.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("embedding").alias("cv"),
+        F.col("bucket").alias("cb"),
+    )
+    scored = (
+        c.join(
+            F.broadcast(q),
+            (F.col("cb") == F.col("qb")) & (F.col("cand_id") != F.col("query_id")),
+        )
+        .withColumn("score", F.round(cosine_col("qv", "cv"), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("cand_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "cand_id", "score", "rank")
+    )

@@ -1,0 +1,88 @@
+"""Text analysis operators: language ID, quality scoring, token
+counting, document fingerprinting.
+
+Everything is built-in-expression only (whole-stage codegen; no Python
+in the hot path) and each operator has a DuckDB-expressible SQL twin in
+``crawler_spark.queries``. Shared primitives:
+
+    tokens  = regexp_extract_all(lower(text), '[a-z0-9]+')
+    stopset = tiny English function-word list (langid heuristic)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from crawler_spark.operators.dedup import TOKENS_EXPR
+
+EN_STOPWORDS = (
+    "the,a,an,of,and,or,to,in,is,are,was,were,be,been,that,this,with,for,"
+    "as,on,at,by,from,it,its,not,but,have,has,had"
+)
+
+
+def language_id(docs: DataFrame, threshold: float = 0.05) -> DataFrame:
+    """n-gram-free language heuristic: share of tokens that are English
+    function words; ≥ threshold → 'en', else 'other'. (A real system
+    uses char-n-gram profiles per language; the heuristic exercises the
+    same dataflow shape: tokenize → dictionary membership → ratio.)"""
+    stop_arr = f"split('{EN_STOPWORDS}', ',')"
+    ratio = F.expr(
+        f"size(array_intersect({TOKENS_EXPR}, {stop_arr})) * 1.0"
+        f" / greatest(size(array_distinct({TOKENS_EXPR})), 1)"
+    )
+    return docs.select(
+        "doc_id",
+        "lang",
+        F.round(ratio, 4).alias("en_ratio"),
+        F.when(ratio >= threshold, F.lit("en")).otherwise(F.lit("other")).alias(
+            "pred_lang"
+        ),
+    )
+
+
+def quality_score(docs: DataFrame) -> DataFrame:
+    """Heuristic document quality in [0,1]:
+    length score (chars/500 capped) × word-length sanity × alpha ratio.
+    """
+    n_chars = F.length("text")
+    n_tokens = F.expr(f"size({TOKENS_EXPR})")
+    mean_word = F.expr(
+        f"aggregate({TOKENS_EXPR}, cast(0 as double), (a, t) -> a + length(t))"
+    ) / F.greatest(n_tokens, F.lit(1))
+    alpha_ratio = F.length(F.regexp_replace(F.lower("text"), "[^a-z]", "")) / F.greatest(
+        n_chars, F.lit(1)
+    )
+    len_score = F.least(n_chars / F.lit(500.0), F.lit(1.0))
+    word_score = F.when((mean_word >= 3) & (mean_word <= 10), 1.0).otherwise(0.5)
+    return docs.select(
+        "doc_id",
+        F.round(len_score * word_score * alpha_ratio, 4).alias("quality"),
+        F.round(mean_word, 4).alias("mean_word_len"),
+        n_tokens.alias("n_tokens"),
+    )
+
+
+def token_count(docs: DataFrame) -> DataFrame:
+    """Word tokens + a BPE-ish subword estimate: ceil(len(token)/4)
+    summed (≈ GPT-style 4-chars-per-token heuristic, per token)."""
+    n_tokens = F.expr(f"size({TOKENS_EXPR})")
+    subwords = F.expr(
+        f"aggregate({TOKENS_EXPR}, cast(0 as bigint),"
+        " (a, t) -> a + cast(ceil(length(t) / 4.0) as bigint))"
+    )
+    return docs.select(
+        "doc_id", n_tokens.alias("n_words"), subwords.alias("n_subword_est")
+    )
+
+
+def fingerprint(docs: DataFrame, gram: int = 8, prefix: int = 200) -> DataFrame:
+    """Rolling-hash document fingerprint: min md5 over the character
+    8-grams of the first ``prefix`` chars (winnowing with window = all;
+    stable under small suffix edits)."""
+    expr = (
+        f"array_min(transform(sequence(1, greatest(length(substr(text, 1, {prefix})) - {gram - 1}, 1)),"
+        f" i -> md5(substr(substr(text, 1, {prefix}), i, {gram}))))"
+    )
+    return docs.select("doc_id", F.expr(expr).alias("fingerprint"))

@@ -28,27 +28,36 @@ machinery replaced by declarative dataflow:
 Determinism: request seq ids encode (round, parent pull rank, match
 index) as a strided int64 — strictly increasing in exactly the order
 the single-worker Go loop would push them, without any global
-row_number (no single-partition sort; see ``_child_seq``).
+row_number over the unbounded frontier (no single-partition sort).
 
-Scale notes (100 TB / 10^10-URL design):
-- the only per-round scan of the big corpus is a broadcast-hash inner
-  join against the (bounded) batch — no corpus shuffle ever; on a real
-  cluster the corpus table is bucketed by canon_url so the probe
-  becomes partition-pruned;
-- the seen set is append-only parquet; membership = bloom prefilter
-  (definitely-new rows skip the join) + exact left-anti join for
-  maybe-seen rows only;
-- hot hosts: per-host budget already caps per-host batch share; the
-  window shuffle partitions by (task, host, salt) where hot hosts
-  (frontier share > cfg.hot_host_share) get ``cfg.max_salts`` salts so
-  a 30%-of-frontier host cannot serialize one reducer (budget is split
-  across salts; see operators in ``_select_batch``);
-- every round materializes frontier/seen deltas to parquet snapshots —
-  lineage truncation + exact resume (checkpoint_* config).
+Driver/executor split — what is collected and why it scales:
+the selected *batch* is bounded by ``cfg.batch_size`` **by
+construction** (it is the politeness-limited fetch set for one round),
+so collecting it to the driver is O(batch), not O(frontier): the same
+rows must reach the driver anyway for the crawl-order log, the bloom
+update, and the failure/retry ledger. Everything unbounded — the
+frontier, the seen set, the corpus scan, parsing, link explosion —
+stays distributed:
+
+- the corpus is only ever touched by a broadcast-hash **inner** join
+  against the bounded batch (no corpus shuffle; on a real cluster the
+  pages table is bucketed by ``canon_url`` making the probe
+  partition-pruned);
+- the seen set is append-only parquet; membership = broadcast Bloom
+  prefilter (definitely-new rows skip the join entirely) + exact
+  left-anti join for maybe-seen rows only — no false drops, bloom
+  false positives only cost the exact check;
+- hot hosts cannot serialize a reducer: the per-(task,host) budget
+  window bounds any host's batch share, and the frontier itself is
+  hash-partitioned by url_hash (uniform) not by host;
+- frontier_{t+1} is localCheckpoint'ed each round (lineage
+  truncation) and snapshotted to parquet every ``checkpoint_every``
+  rounds for exact resume.
 """
 
 from __future__ import annotations
 
+import glob
 import json
 import os
 import shutil
@@ -86,12 +95,18 @@ FRONTIER_SCHEMA = StructType(
         StructField("seq", LongType()),
     ]
 )
+_FRONTIER_COLS = [f.name for f in FRONTIER_SCHEMA.fields]
 
 # seq = (round+1) << 42 | pull_rank << 21 | match_index  — strictly
 # increasing in (round, parent pull order, emission order), the exact
 # single-worker push order. Caps: 2^21 rounds, 2^21 batch, 2^21 links/page.
 _ROUND_SHIFT = 42
 _RANK_SHIFT = 21
+
+_BATCH_COLS = [
+    "task", "url", "canon_url", "host", "url_hash", "depth", "priority",
+    "rule", "reload", "temp", "seq", "pull_rank",
+]
 
 
 class FrontierEngine:
@@ -113,15 +128,12 @@ class FrontierEngine:
         self.round = 0
         self.metrics: list[dict] = []
         self._bloom: BloomFilter | None = None
-        self._rule_map = {}
-        for t in tasks:
-            for r in t.rules:
-                # rule names are namespaced per task in the reference
-                # (Trunk per task); keep (task, rule) keying via a
-                # composite key in the parse UDF dispatch
-                self._rule_map[(t.name, r.name)] = r
-        # single flat map keyed "task\x00rule" for the UDF closure
-        self._flat_rules = {f"{k[0]}\x00{k[1]}": v for k, v in self._rule_map.items()}
+        # rule names are per-task (RuleTree.Trunk per task); dispatch key
+        # is "task\x00rule"
+        self._flat_rules = {
+            f"{t.name}\x00{r.name}": r for t in tasks for r in t.rules
+        }
+        self._parse_udf = make_parse_udf(self._flat_rules)
         self._tasks_dim = spark.createDataFrame(
             pd.DataFrame(
                 {
@@ -133,14 +145,44 @@ class FrontierEngine:
                 }
             )
         )
+        self._prev_frontier: DataFrame | None = None
+        self._snapshot_round = 0
+        self._seen_count = 0
 
-    # ---------------- state paths ----------------
+    # ---------------- state paths / driver-side ledgers ----------------
     def _p(self, *parts: str) -> str:
         return os.path.join(self.workdir, *parts)
 
+    def _ledger_append(self, name: str, pdf: pd.DataFrame, round_no: int) -> None:
+        """Driver-side parquet append (no Spark job) for bounded,
+        per-round bookkeeping: order log, seen deltas, failures."""
+        if pdf.empty:
+            return
+        d = self._p(name)
+        os.makedirs(d, exist_ok=True)
+        pdf = pdf.copy()
+        pdf["round"] = round_no
+        pdf.to_parquet(
+            os.path.join(d, f"round_{round_no:06d}.parquet"),
+            index=False,
+            coerce_timestamps="us",  # Spark rejects TIMESTAMP(NANOS)
+            allow_truncated_timestamps=True,
+        )
+
     def _write_manifest(self) -> None:
         with open(self._p("manifest.json"), "w") as f:
-            json.dump({"round": self.round}, f)
+            json.dump(
+                {"round": self.round, "snapshot_round": self._snapshot_round}, f
+            )
+
+    def _truncate_ledgers(self, upto_round: int) -> None:
+        """Drop ledger files from rounds after ``upto_round`` (stale
+        future state when resuming from an older snapshot)."""
+        for name in ("seen", "order", "items", "failures"):
+            for f in glob.glob(self._p(name, "round_*.parquet")):
+                rnd = int(os.path.basename(f)[6:12])
+                if rnd > upto_round:
+                    os.remove(f)
 
     # ---------------- seeds ----------------
     def seed_frontier(self) -> DataFrame:
@@ -159,39 +201,36 @@ class FrontierEngine:
             df.withColumn("canon_url", canonicalize_udf(F.col("url")))
             .withColumn("host", host_of_udf(F.col("url")))
             .withColumn("url_hash", url_hash_expr(F.col("canon_url")))
-            .select([f.name for f in FRONTIER_SCHEMA.fields])
+            .select(_FRONTIER_COLS)
         )
 
-    # ---------------- one round ----------------
+    # ---------------- round stages ----------------
     def _pull_order(self):
+        # two-FIFO scheduler: priority>0 class first, then enqueue order
         return [
             F.when(F.col("priority") > 0, 0).otherwise(1).asc(),
             F.col("seq").asc(),
         ]
 
-    def _eligible(self, frontier: DataFrame, seen: DataFrame | None):
-        """Depth + robots + seen filters. Ineligible rows are dropped
-        permanently (the Go loop drops them at pull time)."""
-        e = (
-            frontier.join(F.broadcast(self._tasks_dim), "task")
-            .filter(F.col("depth") <= F.col("max_depth"))
+    def _eligible(self, frontier: DataFrame, seen: DataFrame | None) -> DataFrame:
+        e = frontier.join(F.broadcast(self._tasks_dim), "task").filter(
+            F.col("depth") <= F.col("max_depth")
         )
         e = filter_robots_allowed(e, self.robots)
         if seen is not None:
-            if self.cfg.use_bloom and self._bloom is not None:
+            if (
+                self.cfg.use_bloom
+                and self._bloom is not None
+                and self._seen_count >= self.cfg.bloom_min_seen
+            ):
                 maybe, new = split_by_bloom(e, "url_hash", self._bloom, self.spark)
-                checked = maybe.join(
-                    seen.select("url_hash"), "url_hash", "left_anti"
-                )
+                checked = maybe.join(seen.select("url_hash"), "url_hash", "left_anti")
                 e = new.unionByName(checked)
             else:
                 e = e.join(seen.select("url_hash"), "url_hash", "left_anti")
         return e
 
-    def _select_batch(self, eligible: DataFrame):
-        """Within-eligible dup keep-first + per-(task,host) budget +
-        global batch cap, all in pull order. Returns (batch_with_rank,
-        deferred)."""
+    def _select_batch(self, eligible: DataFrame) -> DataFrame:
         order = self._pull_order()
         w_dup = Window.partitionBy("url_hash").orderBy(*order)
         w_host = Window.partitionBy("task", "host").orderBy(*order)
@@ -204,51 +243,18 @@ class FrontierEngine:
             .filter(F.col("_host_rank") <= F.col("host_budget"))
         )
         bsize = self.cfg.batch_size if self.cfg.batch_size > 0 else (1 << 30)
-        batch = candidates.orderBy(*order).limit(bsize)
-        w_batch = Window.orderBy(*order)
-        batch = batch.withColumn("pull_rank", F.row_number().over(w_batch) - 1)
-        deferred = eligible.join(
-            F.broadcast(batch.select("seq")), "seq", "left_anti"
-        ).select([f.name for f in FRONTIER_SCHEMA.fields])
-        return batch, deferred
+        # TakeOrderedAndProject: per-partition top-B + driver merge
+        return candidates.select(_FRONTIER_COLS).orderBy(*order).limit(bsize)
 
-    def _fetch(self, batch: DataFrame):
-        """Simulated fetch: broadcast-hash inner join of the bounded
-        batch against the pages corpus (reference collect.go:25-43;
-        missing url ⇒ failure, collect.go:35-37)."""
-        probe = batch.select(
-            "task", "canon_url", "url", "url_hash", "host", "depth", "priority",
-            "rule", "reload", "temp", "seq", "pull_rank",
-        )
-        hits = self.corpus.join(
-            F.broadcast(probe.withColumnRenamed("url", "req_url")), "canon_url", "inner"
-        )
-        failures = probe.join(
-            F.broadcast(hits.select("url_hash")), "url_hash", "left_anti"
-        )
-        return hits, failures
-
-    def _parse(self, hits: DataFrame):
-        parse_udf = make_parse_udf(self._flat_rules)
-        parsed = hits.withColumn(
-            "parsed",
-            parse_udf(
-                F.concat_ws("\x00", F.col("task"), F.col("rule")),
-                F.col("req_url"),
-                F.col("text"),
-                F.col("temp"),
-            ),
-        )
-        base = (self.round + 1) << _ROUND_SHIFT
-
+    def _children(self, parsed: DataFrame):
+        base = (self.round) << _ROUND_SHIFT
         children = (
             parsed.select(
                 "task",
                 F.col("depth").alias("parent_depth"),
                 "pull_rank",
-                F.posexplode_outer("parsed.requests").alias("_pos", "emit"),
+                F.explode("parsed.requests").alias("emit"),
             )
-            .filter(F.col("emit").isNotNull())
             .select(
                 "task",
                 F.col("emit.url").alias("url"),
@@ -266,48 +272,35 @@ class FrontierEngine:
             .withColumn("canon_url", canonicalize_udf(F.col("url")))
             .withColumn("host", host_of_udf(F.col("url")))
             .withColumn("url_hash", url_hash_expr(F.col("canon_url")))
-            .select([f.name for f in FRONTIER_SCHEMA.fields])
+            .select(_FRONTIER_COLS)
         )
+        return children
 
-        items = parsed.select(
-            "task",
-            "rule",
-            F.col("req_url").alias("url"),
-            "warc_ts",
-            F.explode("parsed.items").alias("fields"),
-            "pull_rank",
+    def _materialize_frontier(
+        self, df: DataFrame, round_no: int, force_snapshot: bool = False
+    ) -> DataFrame:
+        cfg = self.cfg
+        snap_due = force_snapshot or (
+            cfg.checkpoint_every > 0 and round_no % cfg.checkpoint_every == 0
         )
-        return children, items
-
-    def _retries(self, failures: DataFrame):
-        """First failure of a reload request: un-mark + re-push with
-        reload cleared (engine/schedule.go:350-364)."""
-        base = (self.round + 1) << _ROUND_SHIFT
-        retry = (
-            failures.filter(F.col("reload"))
-            .withColumn("reload", F.lit(False))
-            .withColumn(
-                "seq",
-                F.lit(base) + F.col("pull_rank").cast("long") * F.lit(1 << _RANK_SHIFT),
-            )
-            .select([f.name for f in FRONTIER_SCHEMA.fields])
-        )
-        hard = failures.filter(~F.col("reload")).select(
-            "task", "url", "canon_url", "url_hash", "host", "depth", "rule"
-        )
-        return retry, hard
-
-    # ---------------- materialization ----------------
-    def _snapshot(self, df: DataFrame, name: str, round_no: int) -> DataFrame:
-        path = self._p(name, f"round={round_no}")
-        df.write.mode("overwrite").parquet(path)
-        return self.spark.read.schema(df.schema).parquet(path)
-
-    def _append(self, df: DataFrame, name: str, round_no: int) -> None:
-        if df is not None:
-            df.withColumn("round", F.lit(round_no)).write.mode("append").parquet(
-                self._p(name)
-            )
+        # fixed url_hash partitioning: caps task count (unions would
+        # otherwise accumulate partitions round over round) and aligns
+        # with the dedup window's partitionBy("url_hash")
+        df = df.repartition(cfg.num_partitions, "url_hash")
+        if snap_due:
+            path = self._p("frontier", f"round={round_no}")
+            df.write.mode("overwrite").parquet(path)
+            out = self.spark.read.schema(FRONTIER_SCHEMA).parquet(path)
+            self._snapshot_round = round_no
+        else:
+            out = df.localCheckpoint(eager=True)
+        if self._prev_frontier is not None:
+            try:
+                self._prev_frontier.unpersist()
+            except Exception:
+                pass
+        self._prev_frontier = out
+        return out
 
     # ---------------- main loop ----------------
     def run(
@@ -320,120 +313,195 @@ class FrontierEngine:
         max_rounds = max_rounds or cfg.max_rounds
         if resume:
             with open(self._p("manifest.json")) as f:
-                self.round = json.load(f)["round"]
+                man = json.load(f)
+            self.round = man["snapshot_round"]
+            self._snapshot_round = self.round
+            self._truncate_ledgers(self.round)
             frontier = self.spark.read.schema(FRONTIER_SCHEMA).parquet(
                 self._p("frontier", f"round={self.round}")
             )
-            try:
-                seen = self.spark.read.parquet(self._p("seen")).filter(
-                    F.col("round") <= self.round
-                )
-            except Exception:
-                seen = None
-            if cfg.use_bloom and seen is not None:
+            seen = self._read_seen_upto(self.round)
+            if cfg.use_bloom:
                 self._bloom = BloomFilter(cfg.bloom_capacity, cfg.bloom_fpp)
-                for (h,) in seen.select("url_hash").toLocalIterator():
-                    self._bloom.add(h)
+                for f in glob.glob(self._p("seen", "*.parquet")):
+                    pdf = pd.read_parquet(f)
+                    self._bloom.add_many(pdf["url_hash"].tolist())
+                    self._seen_count += len(pdf)
         else:
             if os.path.exists(self.workdir):
                 shutil.rmtree(self.workdir)
             os.makedirs(self.workdir, exist_ok=True)
-            frontier = self._snapshot(self.seed_frontier(), "frontier", 0)
+            frontier = self._materialize_frontier(self.seed_frontier(), 0)
             seen = None
             self.round = 0
             if cfg.use_bloom:
                 self._bloom = BloomFilter(cfg.bloom_capacity, cfg.bloom_fpp)
 
-        for _ in range(max_rounds):
-            eligible = self._eligible(frontier, seen).persist()
-            n_eligible = eligible.count()
-            if n_eligible == 0:
-                eligible.unpersist()
+        rounds_done = 0
+        while rounds_done < max_rounds:
+            next_round = self.round + 1
+            # --- select batch and bring the bounded set to the driver
+            eligible = self._eligible(frontier, seen)
+            batch_pd = self._select_batch(eligible).toPandas()
+            if batch_pd.empty:
                 break
-            self.round += 1
+            self.round = next_round
+            rounds_done += 1
             rnd = self.round
-            batch, deferred = self._select_batch(eligible)
-            batch = batch.persist()
-            n_batch = batch.count()
-            if n_batch == 0:
-                eligible.unpersist()
-                batch.unpersist()
-                break
+            batch_pd = batch_pd.reset_index(drop=True)
+            batch_pd["pull_rank"] = batch_pd.index.astype("int64")
 
-            hits, failures = self._fetch(batch)
-            hits = hits.persist()
-            children, items = self._parse(hits)
-            retry, hard_fail = self._retries(failures)
-            retry = retry.persist()
+            # --- simulated fetch: broadcast bounded batch into corpus
+            probe_cols = [
+                "task", "req_url", "canon_url", "host", "url_hash", "depth",
+                "priority", "rule", "reload", "temp", "seq", "pull_rank",
+            ]
+            probe = self.spark.createDataFrame(
+                batch_pd.rename(columns={"url": "req_url"})[probe_cols],
+                schema=(
+                    "task string, req_url string, canon_url string, host string,"
+                    " url_hash string, depth int, priority int, rule string,"
+                    " reload boolean, temp string, seq long, pull_rank long"
+                ),
+            )
+            hits = self.corpus.join(F.broadcast(probe), "canon_url", "inner")
+            parsed = hits.withColumn(
+                "parsed",
+                self._parse_udf(
+                    F.concat_ws("\x00", F.col("task"), F.col("rule")),
+                    F.col("req_url"),
+                    F.col("text"),
+                    F.col("temp"),
+                ),
+            ).persist()
+            children = self._children(parsed)
 
-            # seen delta: batch hashes minus same-round reload un-marks
-            retry_hashes = [r.url_hash for r in retry.select("url_hash").collect()]
-            seen_delta = batch.select("url_hash")
-            if retry_hashes:
-                seen_delta = seen_delta.filter(~F.col("url_hash").isin(retry_hashes))
-            self._append(seen_delta, "seen", rnd)
-            seen = self.spark.read.parquet(self._p("seen"))
+            # --- bounded driver-side bookkeeping: one collect brings
+            # back O(batch) rows (url_hash for the fetch ledger +
+            # extracted items, both bounded by the politeness-capped
+            # batch — the unbounded link fan-out stays distributed)
+            fetch_rows = parsed.select(
+                "url_hash", "task", "rule", "req_url", "warc_ts", "pull_rank",
+                "parsed.items",
+            ).collect()
+            fetched_hashes = {r.url_hash for r in fetch_rows}
+            items_pd = pd.DataFrame(
+                [
+                    {
+                        "task": r.task,
+                        "rule": r.rule,
+                        "url": r.req_url,
+                        "warc_ts": r.warc_ts,
+                        "pull_rank": r.pull_rank,
+                        "fields": f,
+                    }
+                    for r in fetch_rows
+                    for f in (r.items or [])
+                ]
+            )
+            batch_pd["fetched"] = batch_pd["url_hash"].isin(fetched_hashes)
+            failed = batch_pd[~batch_pd["fetched"]]
+            retry_pd = failed[failed["reload"]].copy()
+            hard_fail = failed[~failed["reload"]]
+            # first failure of a reload request: un-mark + re-push with
+            # reload cleared and a fresh seq (schedule.go:350-364)
+            retry_pd["reload"] = False
+            retry_pd["seq"] = (rnd << _ROUND_SHIFT) + (
+                retry_pd["pull_rank"].astype("int64") * (1 << _RANK_SHIFT)
+            )
+            retry_hashes = set(retry_pd["url_hash"])
+            seen_delta = batch_pd[~batch_pd["url_hash"].isin(retry_hashes)][
+                ["url_hash"]
+            ]
+            self._ledger_append("seen", seen_delta, rnd)
+            self._seen_count += len(seen_delta)
             if self._bloom is not None:
-                for (h,) in seen_delta.select("url_hash").toLocalIterator():
-                    self._bloom.add(h)
-
+                self._bloom.add_many(seen_delta["url_hash"].tolist())
             if record_order:
-                self._append(
-                    batch.select(
-                        "pull_rank", "seq", "task", "url", "canon_url", "url_hash",
-                        "host", "depth", "priority", "rule",
-                    ).join(
-                        hits.select("url_hash", F.lit(True).alias("fetched")),
-                        "url_hash",
-                        "left",
-                    ).withColumn("fetched", F.coalesce("fetched", F.lit(False))),
+                self._ledger_append(
                     "order",
+                    batch_pd[
+                        ["pull_rank", "seq", "task", "url", "canon_url", "url_hash",
+                         "host", "depth", "priority", "rule", "fetched"]
+                    ],
                     rnd,
                 )
-            self._append(items, "items", rnd)
-            self._append(hard_fail, "failures", rnd)
+            self._ledger_append(
+                "failures",
+                hard_fail[["task", "url", "canon_url", "url_hash", "host", "depth",
+                           "rule"]],
+                rnd,
+            )
+            seen = self._read_seen_upto(None)
+            self._ledger_append("items", items_pd, rnd)
 
-            new_frontier = deferred.unionByName(children).unionByName(retry)
-            frontier = self._snapshot(new_frontier, "frontier", rnd)
-            n_frontier = frontier.count()
+            # --- next frontier: deferred ∪ children ∪ retries
+            deferred = eligible.join(
+                F.broadcast(probe.select("seq")), "seq", "left_anti"
+            ).select(_FRONTIER_COLS)
+            new_frontier = deferred.unionByName(children)
+            if not retry_pd.empty:
+                retry_df = self.spark.createDataFrame(
+                    retry_pd[_FRONTIER_COLS], FRONTIER_SCHEMA
+                )
+                new_frontier = new_frontier.unionByName(retry_df)
+            frontier = self._materialize_frontier(new_frontier, rnd)
+            parsed.unpersist()
 
             self.metrics.append(
                 {
                     "round": rnd,
-                    "eligible": n_eligible,
-                    "batch": n_batch,
-                    "frontier_after": n_frontier,
+                    "batch": int(len(batch_pd)),
+                    "fetched": int(batch_pd["fetched"].sum()),
+                    "failures": int(len(hard_fail)),
+                    "retries": int(len(retry_pd)),
+                    "items": int(len(items_pd)),
                 }
             )
             self._write_manifest()
-            eligible.unpersist()
-            batch.unpersist()
-            hits.unpersist()
-            retry.unpersist()
-            if n_frontier == 0:
-                break
 
+        if self._snapshot_round != self.round:
+            frontier = self._materialize_frontier(
+                frontier, self.round, force_snapshot=True
+            )
+            self._write_manifest()
         pd.DataFrame(self.metrics or [{"round": 0}]).to_parquet(
             self._p("metrics.parquet")
         )
-        return {
-            "rounds": self.round,
-            "metrics": self.metrics,
-            "workdir": self.workdir,
-        }
+        return {"rounds": self.round, "metrics": self.metrics, "workdir": self.workdir}
 
     # ---------------- result readers ----------------
+    def _read_seen_upto(self, round_no: int | None) -> DataFrame | None:
+        if not glob.glob(self._p("seen", "*.parquet")):
+            return None
+        df = self.spark.read.parquet(self._p("seen"))
+        if round_no is not None:
+            df = df.filter(F.col("round") <= round_no)
+        return df
+
     def read_order(self) -> DataFrame:
         return self.spark.read.parquet(self._p("order")).orderBy("round", "pull_rank")
 
     def read_seen(self) -> DataFrame:
-        return self.spark.read.parquet(self._p("seen"))
+        df = self._read_seen_upto(None)
+        if df is None:
+            return self.spark.createDataFrame([], "url_hash string, round long")
+        return df
 
     def read_items(self) -> DataFrame:
+        if not glob.glob(self._p("items", "*.parquet")):
+            return self.spark.createDataFrame(
+                [],
+                "task string, rule string, url string, fields string, round long",
+            )
         return self.spark.read.parquet(self._p("items"))
 
     def read_failures(self) -> DataFrame:
-        try:
-            return self.spark.read.parquet(self._p("failures"))
-        except Exception:
-            return self.spark.createDataFrame([], "url string")
+        if not glob.glob(self._p("failures", "*.parquet")):
+            return self.spark.createDataFrame(
+                [], "task string, url string, url_hash string, round long"
+            )
+        return self.spark.read.parquet(self._p("failures"))
+
+    def read_metrics(self) -> pd.DataFrame:
+        return pd.read_parquet(self._p("metrics.parquet"))

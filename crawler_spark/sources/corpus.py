@@ -92,7 +92,13 @@ def _mix(seed: int, *vals: int) -> int:
 
 
 def generic_host(seed: int, i: int, n_hosts: int, hot_share: float = 0.30) -> str:
-    """Host of generic page i; host 0 gets ~hot_share of all pages."""
+    """Host of generic page i; host 0 gets ~hot_share of all pages.
+
+    Page 0 is pinned to host 0 so the generic task's seed URL
+    (https://www.site0000.example/p/0) always resolves.
+    """
+    if i == 0:
+        return "www.site0000.example"
     r = _mix(seed, i, 1)
     if (r % 10_000) < int(hot_share * 10_000):
         h = 0
@@ -247,10 +253,16 @@ def _rows_to_pdf(rows: list[tuple[str, str]], seed: int) -> pd.DataFrame:
 
 
 def build_corpus_pdf(
-    seed: int = 42, n_generic: int = 200, n_hosts: int = 10, out_degree: int = 8
+    seed: int = 42,
+    n_generic: int = 200,
+    n_hosts: int = 10,
+    out_degree: int = 8,
+    n_lists: int = 6,
+    books_per_list: int = 5,
+    n_topics: int = 8,
 ) -> pd.DataFrame:
     """Small driver-side corpus (tests / oracle)."""
-    rows = douban_pages(seed)
+    rows = douban_pages(seed, n_lists, books_per_list, n_topics)
     rows += [
         (generic_url(seed, i, n_hosts), generic_page_text(seed, i, n_generic, n_hosts, out_degree))
         for i in range(n_generic)

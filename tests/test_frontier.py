@@ -1,0 +1,152 @@
+"""Engine ↔ Go-oracle equivalence.
+
+The oracle (crawler_spark/plans/oracle.py) with batch_size=1 IS the
+reference's deterministic single-worker loop; with batch_size=B it
+defines the engine's round semantics. The Spark engine must reproduce
+the oracle's crawl order (url sequence per fetch attempt), final
+seen-set, items, and failures for every configuration.
+"""
+
+import json
+
+import pytest
+
+from crawler_spark.config import EngineConfig
+from crawler_spark.plans.frontier import FrontierEngine
+from crawler_spark.plans.oracle import GoOracle
+from crawler_spark.rules import BOOK_TASK, GROUP_TASK
+from crawler_spark.sources.corpus import (
+    CORPUS_SCHEMA,
+    build_corpus_pdf,
+    generic_task,
+)
+
+
+def corpus_dict(pdf):
+    return dict(zip(pdf["canon_url"], pdf["text"]))
+
+
+def run_engine(spark, tasks, pdf, workdir, batch_size, budget=None, max_rounds=50,
+               use_bloom=True):
+    corpus_df = spark.createDataFrame(pdf, CORPUS_SCHEMA)
+    cfg = EngineConfig(
+        batch_size=batch_size,
+        num_partitions=4,
+        max_rounds=max_rounds,
+        use_bloom=use_bloom,
+        bloom_capacity=1 << 14,
+    )
+    tasks = [t for t in tasks]
+    if budget is not None:
+        # encode the per-round host budget directly: 1-second rounds
+        cfg.round_seconds = 1.0
+        tasks = [
+            type(t)(**{**t.__dict__, "budget_count": budget, "budget_window_s": 1})
+            for t in tasks
+        ]
+    eng = FrontierEngine(spark, tasks, corpus_df, cfg, workdir=workdir)
+    eng.run(max_rounds=max_rounds)
+    return eng
+
+
+def run_oracle(tasks, pdf, batch_size, budget=None, max_rounds=50):
+    return GoOracle(
+        list(tasks),
+        corpus_dict(pdf),
+        batch_size=batch_size,
+        host_budget=budget,
+        max_rounds=max_rounds,
+    ).run()
+
+
+def assert_equivalent(eng, oracle):
+    order_rows = eng.read_order().collect()
+    got_order = [(r["round"], r.url, r.fetched) for r in order_rows]
+    exp_order = [(o["round"], o["url"], o["fetched"]) for o in oracle.crawl_order]
+    assert got_order == exp_order, (
+        f"crawl order mismatch:\n got={got_order[:20]}\n exp={exp_order[:20]}"
+    )
+    got_seen = {r.url_hash for r in eng.read_seen().collect()}
+    assert got_seen == oracle.seen
+    got_failures = {r.url_hash for r in eng.read_failures().collect()}
+    assert got_failures == set(oracle.failures.keys())
+    got_items = sorted(
+        (r.task, r.rule, r.url, tuple(sorted(json.loads(r.fields).items())))
+        for r in eng.read_items().collect()
+    )
+    exp_items = sorted(
+        (
+            it["task"],
+            it["rule"],
+            it["url"],
+            tuple(sorted((k, v) for k, v in it.items() if k not in ("task", "rule", "url"))),
+        )
+        for it in oracle.items
+    )
+    assert got_items == exp_items
+
+
+@pytest.fixture(scope="module")
+def small_pdf():
+    return build_corpus_pdf(
+        seed=42, n_generic=60, n_hosts=5, out_degree=4,
+        n_lists=2, books_per_list=3, n_topics=4,
+    )
+
+
+def test_douban_single_worker_exact(spark, small_pdf, workdir):
+    """B=1 = the reference single-worker loop, both tasks."""
+    tasks = [BOOK_TASK, GROUP_TASK]
+    eng = run_engine(spark, tasks, small_pdf, workdir, batch_size=1, max_rounds=40)
+    oracle = run_oracle(tasks, small_pdf, batch_size=1, max_rounds=40)
+    assert_equivalent(eng, oracle)
+    assert len(oracle.crawl_order) > 10
+    assert len(oracle.items) > 0
+
+
+def test_generic_batched(spark, small_pdf, workdir):
+    """Batched rounds on the cyclic generic graph, with fetch failures."""
+    tasks = [generic_task(max_depth=3)]
+    eng = run_engine(spark, tasks, small_pdf, workdir, batch_size=16, max_rounds=30)
+    oracle = run_oracle(tasks, small_pdf, batch_size=16, max_rounds=30)
+    assert_equivalent(eng, oracle)
+    assert len(oracle.crawl_order) > 20
+
+
+def test_generic_budget(spark, small_pdf, workdir):
+    """Per-host politeness budget defers over-budget requests."""
+    tasks = [generic_task(max_depth=3)]
+    eng = run_engine(
+        spark, tasks, small_pdf, workdir, batch_size=16, budget=2, max_rounds=30
+    )
+    oracle = run_oracle(tasks, small_pdf, batch_size=16, budget=2, max_rounds=30)
+    assert_equivalent(eng, oracle)
+
+
+def test_bloom_off_same_result(spark, small_pdf, workdir):
+    tasks = [generic_task(max_depth=2)]
+    eng = run_engine(
+        spark, tasks, small_pdf, workdir, batch_size=8, max_rounds=20, use_bloom=False
+    )
+    oracle = run_oracle(tasks, small_pdf, batch_size=8, max_rounds=20)
+    assert_equivalent(eng, oracle)
+
+
+def test_reload_retry_failure_path(spark, workdir):
+    """Reload=true request whose fetch fails is retried once then
+    recorded as failure (engine/schedule.go:350-364): group topic
+    links point at pages we delete from the corpus."""
+    pdf = build_corpus_pdf(seed=42, n_generic=0)
+    # drop all topic pages → every topic link fetch fails
+    mask = ~pdf["url"].str.contains("/group/topic/")
+    pdf = pdf[mask].reset_index(drop=True)
+    tasks = [GROUP_TASK]
+    eng = run_engine(spark, tasks, pdf, workdir, batch_size=4, max_rounds=30)
+    oracle = run_oracle(tasks, pdf, batch_size=4, max_rounds=30)
+    assert_equivalent(eng, oracle)
+    assert len(oracle.failures) > 0  # retried once, then failed
+    # each failed topic URL appears exactly twice in crawl order
+    from collections import Counter
+
+    c = Counter(o["url"] for o in oracle.crawl_order if not o["fetched"])
+    assert all(v == 2 for v in c.values())

@@ -127,7 +127,7 @@ def test_sun_room_match_and_miss():
     yes = '<div class="topic-content"><p>大阳台朝南</p><div class="x">'
     no = '<div class="topic-content"><p>没有窗</p><div class="x">'
     _, items = parse_page(RULE_SUN_ROOM, "https://t/1", yes, {})
-    assert items == [{"url": "https://t/1"}]
+    assert items == [{"match_url": "https://t/1"}]
     _, items = parse_page(RULE_SUN_ROOM, "https://t/1", no, {})
     assert items == []
 

@@ -1,0 +1,54 @@
+"""robots.txt enforcement: engine and oracle agree; longest-prefix
+semantics."""
+
+from crawler_spark.config import EngineConfig
+from crawler_spark.plans.frontier import FrontierEngine
+from crawler_spark.plans.oracle import GoOracle, robots_allowed
+from crawler_spark.sources.corpus import CORPUS_SCHEMA, build_corpus_pdf, generic_task
+
+
+def test_longest_prefix_wins():
+    rules = [
+        ("h.com", "/", False),
+        ("h.com", "/public", True),
+        ("h.com", "/public/private", False),
+    ]
+    assert not robots_allowed(rules, "h.com", "/x")
+    assert robots_allowed(rules, "h.com", "/public/a")
+    assert not robots_allowed(rules, "h.com", "/public/private/a")
+    assert robots_allowed(rules, "other.com", "/x")  # default allow
+
+
+def test_engine_matches_oracle_with_robots(spark, workdir):
+    pdf = build_corpus_pdf(
+        seed=42, n_generic=60, n_hosts=5, out_degree=4,
+        n_lists=0, books_per_list=0, n_topics=0,
+    )
+    # block one entire host, default-allow the rest
+    rules = [("www.site0002.example", "/", False)]
+    corpus = spark.createDataFrame(pdf, CORPUS_SCHEMA)
+    robots_df = spark.createDataFrame(
+        rules, "host string, path_prefix string, allow boolean"
+    )
+    cfg = EngineConfig(
+        batch_size=8, num_partitions=4, use_bloom=False, max_rounds=20
+    )
+    tasks = [generic_task(max_depth=3)]
+    eng = FrontierEngine(
+        spark, tasks, corpus, cfg, robots=robots_df, workdir=workdir
+    )
+    eng.run(max_rounds=20)
+    oracle = GoOracle(
+        tasks,
+        dict(zip(pdf["canon_url"], pdf["text"])),
+        batch_size=8,
+        robots=rules,
+        max_rounds=20,
+    ).run()
+    got = [(r["round"], r.url) for r in eng.read_order().collect()]
+    exp = [(o["round"], o["url"]) for o in oracle.crawl_order]
+    assert got == exp
+    assert {r.url_hash for r in eng.read_seen().collect()} == oracle.seen
+    # the blocked host was never fetched
+    assert all("site0002" not in u for _, u in got)
+    assert len(oracle.robots_denied) > 0

@@ -1,38 +1,59 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+- ``entry(spark)``: flagship crawl-shaped pipeline over sf0.001 —
+  exact dedup (URL-seen analogue) → quality scoring → per-source
+  politeness-style budget window → priority ordering. One plan
+  exercising hash-dedup anti-join, broadcast join, window rank, and
+  whole-stage-codegen scalar functions.
+- ``queries()`` / ``oracle_sql()``: one entry per implemented operator
+  from SURVEY.md §2 + the training-data pipeline operators; twins live
+  in ``crawler_spark/queries.py`` and are value-checked against DuckDB
+  (see scripts/check_contract.py for the local mirror of the gate).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    sf_dir = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+    from crawler_spark.operators.dedup import exact_dedup
+    from crawler_spark.operators.textstats import quality_score
+
+    keep = exact_dedup(docs).select(F.col("keep_doc_id").alias("doc_id"))
+    quality = quality_score(docs)
+    w = Window.partitionBy("source").orderBy(
+        F.col("quality").desc(), F.col("doc_id").asc()
+    )
+    return (
+        docs.join(F.broadcast(keep), "doc_id")  # seen-set dedup analogue
+        .join(quality, "doc_id")
+        .withColumn("rank_in_source", F.row_number().over(w))  # host budget
+        .filter(F.col("rank_in_source") <= 10)
+        .select("doc_id", "source", "lang", "quality", "rank_in_source")
+        .orderBy(F.col("quality").desc(), F.col("doc_id").asc())
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from crawler_spark.queries import QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from crawler_spark.queries import ORACLES
+
+    return dict(ORACLES)

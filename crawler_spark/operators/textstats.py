@@ -28,8 +28,10 @@ def language_id(docs: DataFrame, threshold: float = 0.05) -> DataFrame:
     uses char-n-gram profiles per language; the heuristic exercises the
     same dataflow shape: tokenize → dictionary membership → ratio.)"""
     stop_arr = f"split('{EN_STOPWORDS}', ',')"
+    # cast(… as double): bare 1.0 literals are DECIMAL in Spark SQL and
+    # would make round() return decimal, not double
     ratio = F.expr(
-        f"size(array_intersect({TOKENS_EXPR}, {stop_arr})) * 1.0"
+        f"cast(size(array_intersect({TOKENS_EXPR}, {stop_arr})) as double)"
         f" / greatest(size(array_distinct({TOKENS_EXPR})), 1)"
     )
     return docs.select(

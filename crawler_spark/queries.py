@@ -1,0 +1,715 @@
+"""Driver-contract queries: each engine operator demonstrated as a
+DataFrame query over the driver's testdata tables, with a DuckDB-
+runnable ANSI-SQL twin for value-level verification.
+
+Keys map to SURVEY.md §2 operators (crawl engine) plus the
+training-data pipeline operators (dedup / similarity / text analysis).
+Every computed column is aliased identically in the DataFrame and the
+SQL so the driver's order-insensitive value-hash compare matches.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from crawler_spark.operators import dedup as D
+from crawler_spark.operators import similarity as S
+from crawler_spark.operators import textstats as T
+from crawler_spark.operators.multimodal import attach_fake_payload, extract_features
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# crawl-engine operator demos (SURVEY.md §2.1/§2.2)
+# ---------------------------------------------------------------------------
+
+
+def q_url_hash(spark, sf_dir):
+    """Operator #7 (Unique id, collect/request.go:95-98): md5 identity
+    hash over a text key, JVM-side."""
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", F.md5(F.concat(F.col("text"), F.lit("GET"))).alias("url_hash")
+    )
+
+
+def q_url_hash_sql():
+    return (
+        "SELECT doc_id, md5(text || 'GET') AS url_hash FROM documents"
+    )
+
+
+def q_depth_filter(spark, sf_dir):
+    """Operator #4 (depth check, request.go:87-92): strict-> filter."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_linenumber") <= 3)
+        .groupBy("l_returnflag")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def q_depth_filter_sql():
+    return (
+        "SELECT l_returnflag, count(*) AS cnt FROM lineitem"
+        " WHERE l_linenumber <= 3 GROUP BY l_returnflag"
+    )
+
+
+def q_priority_schedule(spark, sf_dir):
+    """Operator #3 (two-level priority FIFO, schedule.go:177-206):
+    priority class first, then FIFO (event_id = enqueue seq)."""
+    return (
+        _t(spark, sf_dir, "events")
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            F.when(F.col("value") > 80, 0).otherwise(1).alias("pclass"),
+        )
+        .orderBy(F.col("pclass").asc(), F.col("event_id").asc())
+        .limit(500)
+    )
+
+
+def q_priority_schedule_sql():
+    return (
+        "SELECT event_id, event_type, value,"
+        " CASE WHEN value > 80 THEN 0 ELSE 1 END AS pclass"
+        " FROM events ORDER BY pclass ASC, event_id ASC LIMIT 500"
+    )
+
+
+def q_seen_antijoin(spark, sf_dir):
+    """Operators #5/#6 (URL-seen dedup via left-anti join,
+    schedule.go:272-277): frontier=events, seen=customer keys."""
+    events = _t(spark, sf_dir, "events")
+    seen = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 0)
+        .select(F.col("c_custkey").alias("user_id"))
+    )
+    return (
+        events.join(seen, "user_id", "left_anti")
+        .groupBy("event_type")
+        .agg(F.count("*").alias("unseen_cnt"))
+    )
+
+
+def q_seen_antijoin_sql():
+    return (
+        "SELECT event_type, count(*) AS unseen_cnt FROM events"
+        " WHERE user_id NOT IN"
+        " (SELECT c_custkey FROM customer WHERE c_acctbal > 0)"
+        " GROUP BY event_type"
+    )
+
+
+def q_dedup_first_wins(spark, sf_dir):
+    """Within-batch dup keep-first (schedule.go:272-277 pull-time
+    dedup): first event per (user_id, event_type) in seq order."""
+    w = Window.partitionBy("user_id", "event_type").orderBy("event_id")
+    return (
+        _t(spark, sf_dir, "events")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_type", F.col("event_id").alias("first_event_id"))
+    )
+
+
+def q_dedup_first_wins_sql():
+    return (
+        "SELECT user_id, event_type, first_event_id FROM ("
+        " SELECT user_id, event_type, event_id AS first_event_id,"
+        "  row_number() OVER (PARTITION BY user_id, event_type"
+        "   ORDER BY event_id) AS rn FROM events) WHERE rn = 1"
+    )
+
+
+def q_host_budget(spark, sf_dir):
+    """Operator #8 (politeness budget → per-host top-k window,
+    limiter/limiter.go:16-49 discretized): first 5 events per
+    event_type in time order."""
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    return (
+        _t(spark, sf_dir, "events")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("event_type", "event_id", "rk")
+    )
+
+
+def q_host_budget_sql():
+    return (
+        "SELECT event_type, event_id, rk FROM ("
+        " SELECT event_type, event_id, row_number() OVER ("
+        "  PARTITION BY event_type ORDER BY ts, event_id) AS rk"
+        " FROM events) WHERE rk <= 5"
+    )
+
+
+def q_fetch_join(spark, sf_dir):
+    """Operator #10 (simulated fetch = inner equi-join, broadcast
+    small side; collect.go:25-43): orders × customer dim."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey, "inner")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )
+
+
+def q_fetch_join_sql():
+    return (
+        "SELECT c_mktsegment, count(*) AS n_orders,"
+        " round(sum(o_totalprice), 2) AS revenue"
+        " FROM orders JOIN customer ON o_custkey = c_custkey"
+        " GROUP BY c_mktsegment"
+    )
+
+
+def q_fetch_failures(spark, sf_dir):
+    """Operator #24 (failure path: requests with no page — anti-join;
+    collect.go:35-37, schedule.go:350-364): orders w/o lineitems."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey").distinct()
+    return (
+        orders.join(li, orders.o_orderkey == li.l_orderkey, "left_anti")
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").alias("failed_cnt"))
+    )
+
+
+def q_fetch_failures_sql():
+    return (
+        "SELECT o_orderstatus, count(*) AS failed_cnt FROM orders"
+        " WHERE o_orderkey NOT IN (SELECT DISTINCT l_orderkey FROM lineitem)"
+        " GROUP BY o_orderstatus"
+    )
+
+
+def q_regex_link_extract(spark, sf_dir):
+    """Operators #16-17/19 (regex link extraction, parsebook.go:45-88):
+    extractall + explode over documents.text."""
+    return (
+        _t(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(r"regexp_extract_all(text, '(sc[a-z]+)', 1)")
+            ).alias("link"),
+        )
+        .groupBy("link")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def q_regex_link_extract_sql():
+    return (
+        "SELECT link, count(*) AS cnt FROM ("
+        " SELECT doc_id, unnest(regexp_extract_all(text, '(sc[a-z]+)', 1)) AS link"
+        " FROM documents) GROUP BY link"
+    )
+
+
+def q_regex_field_extract(spark, sf_dir):
+    """Operator #18 (single-capture field extract, ExtractStr
+    parsebook.go:117-124: first match or '')."""
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.regexp_extract("text", r"(value [a-z]+)", 1).alias("field"),
+    )
+
+
+def q_regex_field_extract_sql():
+    # DuckDB regexp_extract returns '' on no-match like Spark
+    return (
+        "SELECT doc_id, regexp_extract(text, '(value [a-z]+)', 1) AS field"
+        " FROM documents"
+    )
+
+
+def q_regex_bool_match(spark, sf_dir):
+    """Operator #20 (boolean content match, parseurl.go:61-78)."""
+    return (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("text").rlike("spark.*window"))
+        .groupBy("lang")
+        .agg(F.count("*").alias("matched"))
+    )
+
+
+def q_regex_bool_match_sql():
+    return (
+        "SELECT lang, count(*) AS matched FROM documents"
+        " WHERE regexp_matches(text, 'spark.*window') GROUP BY lang"
+    )
+
+
+def q_union_frontier(spark, sf_dir):
+    """Operator #23 (union of emitted requests into the frontier,
+    schedule.go:306-309) + distinct."""
+    a = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("key"))
+    b = _t(spark, sf_dir, "events").select(F.col("user_id").alias("key"))
+    return (
+        a.unionByName(b).distinct().agg(F.count("*").alias("n_distinct_keys"))
+    )
+
+
+def q_union_frontier_sql():
+    return (
+        "SELECT count(*) AS n_distinct_keys FROM ("
+        " SELECT o_custkey AS key FROM orders"
+        " UNION SELECT user_id AS key FROM events)"
+    )
+
+
+def q_agg_metrics(spark, sf_dir):
+    """Operator #35 / §2.2 aggregations (lineage metrics rollups):
+    TPC-H Q1-shaped pricing summary."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def q_agg_metrics_sql():
+    return (
+        "SELECT l_returnflag, l_linestatus,"
+        " round(sum(l_quantity), 2) AS sum_qty,"
+        " round(sum(l_extendedprice), 2) AS sum_base_price,"
+        " round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,"
+        " round(avg(l_discount), 6) AS avg_disc,"
+        " count(*) AS count_order"
+        " FROM lineitem GROUP BY l_returnflag, l_linestatus"
+    )
+
+
+def q_rollup_metrics(spark, sf_dir):
+    """Grouping-sets surface: ROLLUP over region/nation (metrics
+    lineage rollup per round/host analogue)."""
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    cust = _t(spark, sf_dir, "customer")
+    j = (
+        cust.join(nation, cust.c_nationkey == nation.n_nationkey)
+        .join(region, nation.n_regionkey == region.r_regionkey)
+    )
+    return (
+        j.rollup("r_name", "n_name")
+        .agg(F.count("*").alias("n_cust"))
+        .select(
+            F.coalesce("r_name", F.lit("ALL")).alias("region_name"),
+            F.coalesce("n_name", F.lit("ALL")).alias("nation_name"),
+            "n_cust",
+        )
+    )
+
+
+def q_rollup_metrics_sql():
+    return (
+        "SELECT coalesce(r_name, 'ALL') AS region_name,"
+        " coalesce(n_name, 'ALL') AS nation_name, count(*) AS n_cust"
+        " FROM customer JOIN nation ON c_nationkey = n_nationkey"
+        " JOIN region ON n_regionkey = r_regionkey"
+        " GROUP BY ROLLUP (r_name, n_name)"
+    )
+
+
+def q_topk_global(spark, sf_dir):
+    """Sort/limit surface (TakeOrdered — the per-round batch cut)."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(20)
+        .select("o_orderkey", "o_totalprice", "o_orderpriority")
+    )
+
+
+def q_topk_global_sql():
+    return (
+        "SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders"
+        " ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 20"
+    )
+
+
+def q_event_windows(spark, sf_dir):
+    """Event-time tumbling windows (streaming §2.2 batch analogue):
+    hourly counts + sums."""
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("hour", "ts").alias("hour"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+
+
+def q_event_windows_sql():
+    return (
+        "SELECT date_trunc('hour', ts) AS hour, count(*) AS n_events,"
+        " round(sum(value), 2) AS sum_value FROM events GROUP BY 1"
+    )
+
+
+def q_running_state(spark, sf_dir):
+    """Stateful-stream analogue: per-user running event count in time
+    order (applyInPandasWithState batch twin)."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("user_id") < 100)
+        .select(
+            "user_id", "event_id", F.count("*").over(w).alias("running_cnt")
+        )
+    )
+
+
+def q_running_state_sql():
+    return (
+        "SELECT user_id, event_id, count(*) OVER ("
+        " PARTITION BY user_id ORDER BY ts, event_id"
+        " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_cnt"
+        " FROM events WHERE user_id < 100"
+    )
+
+
+def q_json_props(spark, sf_dir):
+    """Scalar-function surface incl. JSON (sqlstorage.go:100-115
+    marshals non-strings to JSON): extract props.k."""
+    return (
+        _t(spark, sf_dir, "events")
+        .select(
+            "event_id",
+            F.get_json_object("props", "$.k").cast("int").alias("k"),
+        )
+        .filter(F.col("k") > 90)
+    )
+
+
+def q_json_props_sql():
+    return (
+        "SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k"
+        " FROM events WHERE CAST(json_extract_string(props, '$.k') AS INT) > 90"
+    )
+
+
+# ---------------------------------------------------------------------------
+# training-data pipeline operators
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_exact(spark, sf_dir):
+    return D.exact_dedup(_t(spark, sf_dir, "documents"))
+
+
+def q_dedup_exact_sql():
+    return (
+        "SELECT md5(text) AS text_hash, min(doc_id) AS keep_doc_id,"
+        " count(*) AS n_dups FROM documents GROUP BY md5(text)"
+    )
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    return D.ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.5)
+
+
+def q_ngram_jaccard_sql():
+    return """
+    WITH t AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               generate_series(1, greatest(len(regexp_extract_all(lower(text), '[a-z0-9]+')) - 2, 0)),
+               i -> array_to_string(regexp_extract_all(lower(text), '[a-z0-9]+')[i:i+2], ' ')
+             )) AS shingles
+      FROM documents
+    ), sizes AS (
+      SELECT doc_id, len(shingles) AS n_shingles FROM t
+    ), ex AS (
+      SELECT doc_id, unnest(shingles) AS shingle FROM t
+    ), common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+      FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           round(common * 1.0 / (sa.n_shingles + sb.n_shingles - common), 4) AS jaccard
+    FROM common
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE round(common * 1.0 / (sa.n_shingles + sb.n_shingles - common), 4) >= 0.5
+    """
+
+
+def q_minhash_lsh(spark, sf_dir):
+    return D.minhash_lsh_pairs(_t(spark, sf_dir, "documents"), k=8, bands=4)
+
+
+def q_minhash_lsh_sql():
+    mh = ",\n      ".join(
+        f"min(md5('{i}' || '|' || shingle)) AS mh{i}" for i in range(8)
+    )
+    bands = []
+    for b in range(4):
+        cols = f"mh{b * 2} || '|' || mh{b * 2 + 1}"
+        bands.append(f"SELECT doc_id, {b} AS band_id, md5({cols}) AS band_key FROM sig")
+    banded = " UNION ALL ".join(bands)
+    return f"""
+    WITH t AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               generate_series(1, greatest(len(regexp_extract_all(lower(text), '[a-z0-9]+')) - 2, 0)),
+               i -> array_to_string(regexp_extract_all(lower(text), '[a-z0-9]+')[i:i+2], ' ')
+             )) AS shingles
+      FROM documents
+    ), ex AS (
+      SELECT doc_id, unnest(shingles) AS shingle FROM t
+    ), sig AS (
+      SELECT doc_id, {mh} FROM ex GROUP BY doc_id
+    ), banded AS (
+      {banded}
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM banded a JOIN banded b
+      ON a.band_id = b.band_id AND a.band_key = b.band_key
+     AND a.doc_id < b.doc_id
+    """
+
+
+def q_simhash(spark, sf_dir):
+    return D.simhash(_t(spark, sf_dir, "documents"))
+
+
+def q_simhash_sql():
+    return D.simhash_sql("documents")
+
+
+def q_ann_brute_force(spark, sf_dir):
+    return S.brute_force_topk(_t(spark, sf_dir, "embeddings"), n_queries=5, k=3)
+
+
+def q_ann_brute_force_sql():
+    return """
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5
+    ), scored AS (
+      SELECT q.query_id, e.vec_id AS cand_id,
+             round(
+               list_sum(list_transform(generate_series(1, len(qv)),
+                 i -> CAST(qv[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))
+               / (sqrt(list_sum(list_transform(generate_series(1, len(qv)),
+                    i -> CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE))))
+                * sqrt(list_sum(list_transform(generate_series(1, len(e.embedding)),
+                    i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))))
+             , 6) AS score
+      FROM embeddings e JOIN q ON e.vec_id != q.query_id
+    )
+    SELECT query_id, cand_id, score, rank FROM (
+      SELECT query_id, cand_id, score,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, cand_id ASC) AS rank
+      FROM scored)
+    WHERE rank <= 3
+    """
+
+
+def q_ann_ivf(spark, sf_dir):
+    return S.ivf_topk(_t(spark, sf_dir, "embeddings"), n_queries=5, k=3)
+
+
+def q_ann_ivf_sql():
+    return """
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding AS qv, label AS qcell
+      FROM embeddings WHERE vec_id < 5
+    ), scored AS (
+      SELECT q.query_id, e.vec_id AS cand_id,
+             round(
+               list_sum(list_transform(generate_series(1, len(qv)),
+                 i -> CAST(qv[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))
+               / (sqrt(list_sum(list_transform(generate_series(1, len(qv)),
+                    i -> CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE))))
+                * sqrt(list_sum(list_transform(generate_series(1, len(e.embedding)),
+                    i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))))
+             , 6) AS score
+      FROM embeddings e JOIN q ON e.label = q.qcell AND e.vec_id != q.query_id
+    )
+    SELECT query_id, cand_id, score, rank FROM (
+      SELECT query_id, cand_id, score,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, cand_id ASC) AS rank
+      FROM scored)
+    WHERE rank <= 3
+    """
+
+
+def q_lang_id(spark, sf_dir):
+    return T.language_id(_t(spark, sf_dir, "documents"))
+
+
+def q_lang_id_sql():
+    stop = T.EN_STOPWORDS
+    toks = "regexp_extract_all(lower(text), '[a-z0-9]+')"
+    ratio = (
+        f"len(list_intersect(list_distinct({toks}), string_split('{stop}', ',')))"
+        f" * 1.0 / greatest(len(list_distinct({toks})), 1)"
+    )
+    return (
+        f"SELECT doc_id, lang, round({ratio}, 4) AS en_ratio,"
+        f" CASE WHEN {ratio} >= 0.05 THEN 'en' ELSE 'other' END AS pred_lang"
+        f" FROM documents"
+    )
+
+
+def q_quality(spark, sf_dir):
+    return T.quality_score(_t(spark, sf_dir, "documents"))
+
+
+def q_quality_sql():
+    toks = "regexp_extract_all(lower(text), '[a-z0-9]+')"
+    mean_word = (
+        f"list_sum(list_transform({toks}, t -> CAST(length(t) AS DOUBLE)))"
+        f" / greatest(len({toks}), 1)"
+    )
+    alpha = (
+        "length(regexp_replace(lower(text), '[^a-z]', '', 'g'))"
+        " * 1.0 / greatest(length(text), 1)"
+    )
+    len_score = "least(length(text) / 500.0, 1.0)"
+    word_score = (
+        f"CASE WHEN {mean_word} >= 3 AND {mean_word} <= 10 THEN 1.0 ELSE 0.5 END"
+    )
+    return (
+        f"SELECT doc_id,"
+        f" round({len_score} * {word_score} * {alpha}, 4) AS quality,"
+        f" round({mean_word}, 4) AS mean_word_len,"
+        f" len({toks}) AS n_tokens"
+        f" FROM documents"
+    )
+
+
+def q_token_count(spark, sf_dir):
+    return T.token_count(_t(spark, sf_dir, "documents"))
+
+
+def q_token_count_sql():
+    toks = "regexp_extract_all(lower(text), '[a-z0-9]+')"
+    return (
+        f"SELECT doc_id, len({toks}) AS n_words,"
+        f" CAST(list_sum(list_transform({toks},"
+        f" t -> CAST(ceil(length(t) / 4.0) AS BIGINT))) AS BIGINT) AS n_subword_est"
+        f" FROM documents"
+    )
+
+
+def q_fingerprint(spark, sf_dir):
+    return T.fingerprint(_t(spark, sf_dir, "documents"))
+
+
+def q_fingerprint_sql():
+    return """
+    SELECT doc_id,
+           list_min(list_transform(
+             generate_series(1, greatest(length(substr(text, 1, 200)) - 7, 1)),
+             i -> md5(substr(substr(text, 1, 200), i, 8)))) AS fingerprint
+    FROM documents
+    """
+
+
+def q_multimodal_features(spark, sf_dir):
+    """Binary-column plumbing (mapInPandas decode stub) — no SQL twin;
+    the driver records a rows-only check."""
+    docs = _t(spark, sf_dir, "documents")
+    return extract_features(attach_fake_payload(docs)).select(
+        "media_id", "kind", "n_bytes", "content_hash", "width", "height"
+    )
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+QUERIES = {
+    "url_hash": q_url_hash,
+    "depth_filter": q_depth_filter,
+    "priority_schedule": q_priority_schedule,
+    "seen_antijoin": q_seen_antijoin,
+    "dedup_first_wins": q_dedup_first_wins,
+    "host_budget": q_host_budget,
+    "fetch_join": q_fetch_join,
+    "fetch_failures": q_fetch_failures,
+    "regex_link_extract": q_regex_link_extract,
+    "regex_field_extract": q_regex_field_extract,
+    "regex_bool_match": q_regex_bool_match,
+    "union_frontier": q_union_frontier,
+    "agg_metrics": q_agg_metrics,
+    "rollup_metrics": q_rollup_metrics,
+    "topk_global": q_topk_global,
+    "event_windows": q_event_windows,
+    "running_state": q_running_state,
+    "json_props": q_json_props,
+    "dedup_exact": q_dedup_exact,
+    "ngram_jaccard": q_ngram_jaccard,
+    "minhash_lsh": q_minhash_lsh,
+    "simhash": q_simhash,
+    "ann_brute_force": q_ann_brute_force,
+    "ann_ivf": q_ann_ivf,
+    "lang_id": q_lang_id,
+    "quality": q_quality,
+    "token_count": q_token_count,
+    "fingerprint": q_fingerprint,
+    "multimodal_features": q_multimodal_features,
+}
+
+ORACLES = {
+    "url_hash": q_url_hash_sql(),
+    "depth_filter": q_depth_filter_sql(),
+    "priority_schedule": q_priority_schedule_sql(),
+    "seen_antijoin": q_seen_antijoin_sql(),
+    "dedup_first_wins": q_dedup_first_wins_sql(),
+    "host_budget": q_host_budget_sql(),
+    "fetch_join": q_fetch_join_sql(),
+    "fetch_failures": q_fetch_failures_sql(),
+    "regex_link_extract": q_regex_link_extract_sql(),
+    "regex_field_extract": q_regex_field_extract_sql(),
+    "regex_bool_match": q_regex_bool_match_sql(),
+    "union_frontier": q_union_frontier_sql(),
+    "agg_metrics": q_agg_metrics_sql(),
+    "rollup_metrics": q_rollup_metrics_sql(),
+    "topk_global": q_topk_global_sql(),
+    "event_windows": q_event_windows_sql(),
+    "running_state": q_running_state_sql(),
+    "json_props": q_json_props_sql(),
+    "dedup_exact": q_dedup_exact_sql(),
+    "ngram_jaccard": q_ngram_jaccard_sql(),
+    "minhash_lsh": q_minhash_lsh_sql(),
+    "simhash": q_simhash_sql(),
+    "ann_brute_force": q_ann_brute_force_sql(),
+    "ann_ivf": q_ann_ivf_sql(),
+    "lang_id": q_lang_id_sql(),
+    "quality": q_quality_sql(),
+    "token_count": q_token_count_sql(),
+    "fingerprint": q_fingerprint_sql(),
+    # multimodal_features: intentionally no SQL twin (binary UDF stub)
+}

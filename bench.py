@@ -1,0 +1,136 @@
+"""Benchmark harness.
+
+Headline = the BASELINE.json metric: frontier throughput (URLs
+scheduled+deduped per second) on a synthetic Common-Crawl-style
+frontier crawl, plus per-query wall times for the driver-contract
+queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total headline seconds>, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": ...,
+   "frontier": {...throughput detail...}}
+
+Env knobs: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+SPARK_GRAFT_CPUS (default 32), BENCH_PAGES (corpus size, default
+120_000), BENCH_ROUNDS (default 6), BENCH_BATCH (default 20_000).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from crawler_spark.config import EngineConfig  # noqa: E402
+from crawler_spark.plans.frontier import FrontierEngine  # noqa: E402
+from crawler_spark.queries import QUERIES  # noqa: E402
+from crawler_spark.session import get_spark  # noqa: E402
+from crawler_spark.sources.corpus import build_corpus_df, generic_task  # noqa: E402
+
+BENCH_QUERIES = [
+    "url_hash",
+    "seen_antijoin",
+    "dedup_first_wins",
+    "host_budget",
+    "fetch_join",
+    "agg_metrics",
+    "regex_link_extract",
+    "dedup_exact",
+    "ngram_jaccard_lsh",
+    "minhash_lsh",
+    "simhash",
+    "ann_brute_force",
+    "lang_id",
+    "quality",
+    "token_count",
+]
+
+
+def bench_frontier(spark, cpus: int, workdir: str) -> dict:
+    n_pages = int(os.environ.get("BENCH_PAGES", "120000"))
+    rounds = int(os.environ.get("BENCH_ROUNDS", "6"))
+    batch = int(os.environ.get("BENCH_BATCH", "20000"))
+    n_hosts = max(16, n_pages // 2000)
+
+    t0 = time.time()
+    corpus = build_corpus_df(
+        spark,
+        seed=42,
+        n_generic=n_pages,
+        n_hosts=n_hosts,
+        out_degree=10,
+        include_douban=False,
+        num_partitions=cpus * 2,
+    ).persist()
+    corpus.count()  # materialize generation outside the crawl timing
+    gen_secs = time.time() - t0
+
+    cfg = EngineConfig(
+        batch_size=batch,
+        num_partitions=cpus,
+        use_bloom=True,
+        bloom_capacity=max(n_pages * 2, 1 << 20),
+        checkpoint_every=0,  # pure-throughput run: no parquet snapshots
+        round_seconds=60.0,
+    )
+    # seed with batch-many roots: measures steady-state scheduling
+    # (a resumed frontier), not BFS warm-up
+    task = generic_task(
+        max_depth=64, budget_count=0, n_seeds=min(batch, n_pages // 2),
+        n_hosts=n_hosts,
+    )
+    eng = FrontierEngine(spark, [task], corpus, cfg, workdir=workdir)
+    t1 = time.time()
+    res = eng.run(max_rounds=rounds, record_order=False)
+    crawl_secs = time.time() - t1
+    scheduled = sum(m["batch"] for m in eng.metrics)
+    fetched = sum(m["fetched"] for m in eng.metrics)
+    corpus.unpersist()
+    return {
+        "pages": n_pages,
+        "rounds": res["rounds"],
+        "batch_size": batch,
+        "urls_scheduled": scheduled,
+        "urls_fetched": fetched,
+        "gen_secs": round(gen_secs, 2),
+        "crawl_secs": round(crawl_secs, 2),
+        "urls_per_sec": round(scheduled / crawl_secs, 1) if crawl_secs else 0.0,
+    }
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    spark = get_spark("crawler_spark_bench", cores=cpus, shuffle_partitions=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    workdir = "/tmp/crawler_spark_bench"
+    frontier = bench_frontier(spark, cpus, workdir)
+
+    query_secs = {}
+    for name in BENCH_QUERIES:
+        t0 = time.time()
+        QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        query_secs[name] = round(time.time() - t0, 3)
+
+    total = round(frontier["crawl_secs"] + sum(query_secs.values()), 2)
+    out = {
+        "metric": "frontier_crawl_plus_queries_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": query_secs,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "frontier": frontier,
+    }
+    print(json.dumps(out))
+    shutil.rmtree(workdir, ignore_errors=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

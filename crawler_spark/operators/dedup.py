@@ -145,6 +145,39 @@ def minhash_lsh_pairs(
     )
 
 
+def lsh_jaccard_pairs(
+    docs: DataFrame, threshold: float = 0.5, k: int = 8, bands: int = 4
+) -> DataFrame:
+    """Near-dup pairs at scale: MinHash-LSH candidate generation +
+    exact Jaccard verification on candidates only.
+
+    The all-pairs shingle self-join (ngram_jaccard_pairs) is quadratic
+    in shingle document-frequency; this pipeline is linear: signature
+    pass → band bucket join → exact array_intersect on the (small)
+    candidate set. Same hash family as minhash_lsh_pairs, so the
+    DuckDB oracle reproduces it bit-for-bit.
+    """
+    cand = minhash_lsh_pairs(docs, k=k, bands=bands)
+    sh = with_shingles(docs)
+    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("common", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("common")
+                / (F.size("sh_a") + F.size("sh_b") - F.col("common")),
+                4,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
 def _simhash_bit_exprs(nbits: int = 32):
     """SQL expressions (dialect-neutral) for SimHash bit votes.
 

@@ -145,7 +145,7 @@ class FrontierEngine:
                 }
             )
         )
-        self._prev_frontier: DataFrame | None = None
+        self._prev_frontier_path: str | None = None
         self._snapshot_round = 0
         self._seen_count = 0
 
@@ -279,27 +279,32 @@ class FrontierEngine:
     def _materialize_frontier(
         self, df: DataFrame, round_no: int, force_snapshot: bool = False
     ) -> DataFrame:
+        """Materialize frontier_{t+1} as a parquet snapshot.
+
+        Parquet (not cache/localCheckpoint) on purpose: it truncates
+        lineage, bounds executor memory (localCheckpoint blocks are
+        never reclaimed from Python and degraded every subsequent job
+        ~30× in profiling), and doubles as the resume checkpoint.
+        Non-durable snapshots (rounds not on the checkpoint_every
+        grid) are deleted as soon as the next round lands.
+        """
         cfg = self.cfg
-        snap_due = force_snapshot or (
+        durable = force_snapshot or (
             cfg.checkpoint_every > 0 and round_no % cfg.checkpoint_every == 0
         )
         # fixed url_hash partitioning: caps task count (unions would
         # otherwise accumulate partitions round over round) and aligns
         # with the dedup window's partitionBy("url_hash")
         df = df.repartition(cfg.num_partitions, "url_hash")
-        if snap_due:
-            path = self._p("frontier", f"round={round_no}")
-            df.write.mode("overwrite").parquet(path)
-            out = self.spark.read.schema(FRONTIER_SCHEMA).parquet(path)
+        path = self._p("frontier", f"round={round_no}")
+        df.write.mode("overwrite").parquet(path)
+        out = self.spark.read.schema(FRONTIER_SCHEMA).parquet(path)
+        if durable:
             self._snapshot_round = round_no
-        else:
-            out = df.localCheckpoint(eager=True)
-        if self._prev_frontier is not None:
-            try:
-                self._prev_frontier.unpersist()
-            except Exception:
-                pass
-        self._prev_frontier = out
+        if self._prev_frontier_path and self._prev_frontier_path != path:
+            shutil.rmtree(self._prev_frontier_path, ignore_errors=True)
+        # keep non-durable snapshots only until the next round lands
+        self._prev_frontier_path = None if durable else path
         return out
 
     # ---------------- main loop ----------------
@@ -341,9 +346,13 @@ class FrontierEngine:
         while rounds_done < max_rounds:
             next_round = self.round + 1
             # --- select batch and bring the bounded set to the driver
-            eligible = self._eligible(frontier, seen)
+            # (eligible is persisted: both the batch selection and the
+            # deferred-rows anti-join read it, and plain .persist() is
+            # fully reclaimable via .unpersist() below)
+            eligible = self._eligible(frontier, seen).persist()
             batch_pd = self._select_batch(eligible).toPandas()
             if batch_pd.empty:
+                eligible.unpersist()
                 break
             self.round = next_round
             rounds_done += 1
@@ -447,6 +456,7 @@ class FrontierEngine:
                 new_frontier = new_frontier.unionByName(retry_df)
             frontier = self._materialize_frontier(new_frontier, rnd)
             parsed.unpersist()
+            eligible.unpersist()
 
             self.metrics.append(
                 {
@@ -461,9 +471,11 @@ class FrontierEngine:
             self._write_manifest()
 
         if self._snapshot_round != self.round:
-            frontier = self._materialize_frontier(
-                frontier, self.round, force_snapshot=True
-            )
+            # the last round's snapshot already exists on disk — just
+            # promote it to durable (re-writing would overwrite the
+            # path the DataFrame reads from)
+            self._snapshot_round = self.round
+            self._prev_frontier_path = None
             self._write_manifest()
         pd.DataFrame(self.metrics or [{"round": 0}]).to_parquet(
             self._p("metrics.parquet")

@@ -497,6 +497,54 @@ def q_minhash_lsh_sql():
     """
 
 
+def q_ngram_jaccard_lsh(spark, sf_dir):
+    """Scale path: LSH candidates + exact Jaccard verify (linear
+    candidate generation instead of the quadratic shingle self-join)."""
+    return D.lsh_jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.5)
+
+
+def q_ngram_jaccard_lsh_sql():
+    mh = ",\n      ".join(
+        f"min(md5('{i}' || '|' || shingle)) AS mh{i}" for i in range(8)
+    )
+    bands = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_id,"
+        f" md5(mh{b * 2} || '|' || mh{b * 2 + 1}) AS band_key FROM sig"
+        for b in range(4)
+    )
+    return f"""
+    WITH t AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               generate_series(1, greatest(len(regexp_extract_all(lower(text), '[a-z0-9]+')) - 2, 0)),
+               i -> array_to_string(regexp_extract_all(lower(text), '[a-z0-9]+')[i:i+2], ' ')
+             )) AS shingles
+      FROM documents
+    ), ex AS (
+      SELECT doc_id, unnest(shingles) AS shingle FROM t
+    ), sig AS (
+      SELECT doc_id, {mh} FROM ex GROUP BY doc_id
+    ), banded AS (
+      {bands}
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM banded a JOIN banded b
+        ON a.band_id = b.band_id AND a.band_key = b.band_key
+       AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           round(len(list_intersect(ta.shingles, tb.shingles)) * 1.0
+                 / (len(ta.shingles) + len(tb.shingles)
+                    - len(list_intersect(ta.shingles, tb.shingles))), 4) AS jaccard
+    FROM cand
+    JOIN t ta ON ta.doc_id = doc_a
+    JOIN t tb ON tb.doc_id = doc_b
+    WHERE round(len(list_intersect(ta.shingles, tb.shingles)) * 1.0
+                / (len(ta.shingles) + len(tb.shingles)
+                   - len(list_intersect(ta.shingles, tb.shingles))), 4) >= 0.5
+    """
+
+
 def q_simhash(spark, sf_dir):
     return D.simhash(_t(spark, sf_dir, "documents"))
 
@@ -671,6 +719,7 @@ QUERIES = {
     "json_props": q_json_props,
     "dedup_exact": q_dedup_exact,
     "ngram_jaccard": q_ngram_jaccard,
+    "ngram_jaccard_lsh": q_ngram_jaccard_lsh,
     "minhash_lsh": q_minhash_lsh,
     "simhash": q_simhash,
     "ann_brute_force": q_ann_brute_force,
@@ -703,6 +752,7 @@ ORACLES = {
     "json_props": q_json_props_sql(),
     "dedup_exact": q_dedup_exact_sql(),
     "ngram_jaccard": q_ngram_jaccard_sql(),
+    "ngram_jaccard_lsh": q_ngram_jaccard_lsh_sql(),
     "minhash_lsh": q_minhash_lsh_sql(),
     "simhash": q_simhash_sql(),
     "ann_brute_force": q_ann_brute_force_sql(),

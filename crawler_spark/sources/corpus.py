@@ -64,11 +64,25 @@ GENERIC_RULE = RuleSpec(
 
 
 def generic_task(
-    max_depth: int = 5, budget_count: int = 0, budget_window_s: int = 60
+    max_depth: int = 5,
+    budget_count: int = 0,
+    budget_window_s: int = 60,
+    n_seeds: int = 1,
+    seed: int = 42,
+    n_hosts: int = 10,
 ) -> TaskConfig:
+    """Cyclic-link crawl task over the generic corpus section.
+
+    ``n_seeds > 1`` seeds the first ``n_seeds`` page urls (a crawl
+    restarted from a frontier snapshot looks like this — bench uses it
+    to skip BFS warm-up rounds)."""
+    seeds = tuple(
+        (generic_url(seed, i, n_hosts), 1 if i == 0 else 0, "link")
+        for i in range(n_seeds)
+    )
     return TaskConfig(
         name="generic_crawl",
-        seeds=(("https://www.site0000.example/p/0", 1, "link"),),
+        seeds=seeds,
         max_depth=max_depth,
         budget_count=budget_count,
         budget_window_s=budget_window_s,

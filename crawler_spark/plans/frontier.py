@@ -148,6 +148,7 @@ class FrontierEngine:
         self._prev_frontier_path: str | None = None
         self._snapshot_round = 0
         self._seen_count = 0
+        self._any_budget = any(t.budget_count > 0 for t in tasks)
 
     # ---------------- state paths / driver-side ledgers ----------------
     def _p(self, *parts: str) -> str:
@@ -178,7 +179,7 @@ class FrontierEngine:
     def _truncate_ledgers(self, upto_round: int) -> None:
         """Drop ledger files from rounds after ``upto_round`` (stale
         future state when resuming from an older snapshot)."""
-        for name in ("seen", "order", "items", "failures"):
+        for name in ("seen", "order", "items", "failures", "lineage"):
             for f in glob.glob(self._p(name, "round_*.parquet")):
                 rnd = int(os.path.basename(f)[6:12])
                 if rnd > upto_round:
@@ -233,15 +234,38 @@ class FrontierEngine:
     def _select_batch(self, eligible: DataFrame) -> DataFrame:
         order = self._pull_order()
         w_dup = Window.partitionBy("url_hash").orderBy(*order)
-        w_host = Window.partitionBy("task", "host").orderBy(*order)
         # host rank counts only non-dup rows (a skipped dup never
         # consumes budget — the Go loop drops it before the limiter)
-        candidates = (
-            eligible.withColumn("_dup_rank", F.row_number().over(w_dup))
-            .filter(F.col("_dup_rank") == 1)
-            .withColumn("_host_rank", F.row_number().over(w_host))
-            .filter(F.col("_host_rank") <= F.col("host_budget"))
-        )
+        nodup = eligible.withColumn(
+            "_dup_rank", F.row_number().over(w_dup)
+        ).filter(F.col("_dup_rank") == 1)
+        # per-(task,host) budget, skew-proof: a hot host (the corpus
+        # generator gives one host ~30% of pages) must not serialize
+        # one reducer. Two-phase top-k with identical semantics:
+        #   1. rank within (task, host, salt) — the skewed shuffle key
+        #      is salted, so a hot host spreads over max_salts reducers;
+        #      any row with salted rank > budget can't be in the true
+        #      per-host top-budget either → safe to drop.
+        #   2. exact rank over the ≤ salts×budget survivors per host.
+        if not self._any_budget:
+            # no politeness caps anywhere → the host windows are
+            # identity filters; skip their shuffles entirely
+            bsize = self.cfg.batch_size if self.cfg.batch_size > 0 else (1 << 30)
+            return nodup.select(_FRONTIER_COLS).orderBy(*order).limit(bsize)
+        n_salts = max(1, self.cfg.max_salts)
+        if n_salts > 1:
+            salted = nodup.withColumn(
+                "_salt", F.pmod(F.xxhash64("url_hash"), F.lit(n_salts))
+            )
+            w_salt = Window.partitionBy("task", "host", "_salt").orderBy(*order)
+            nodup = (
+                salted.withColumn("_salt_rank", F.row_number().over(w_salt))
+                .filter(F.col("_salt_rank") <= F.col("host_budget"))
+            )
+        w_host = Window.partitionBy("task", "host").orderBy(*order)
+        candidates = nodup.withColumn(
+            "_host_rank", F.row_number().over(w_host)
+        ).filter(F.col("_host_rank") <= F.col("host_budget"))
         bsize = self.cfg.batch_size if self.cfg.batch_size > 0 else (1 << 30)
         # TakeOrderedAndProject: per-partition top-B + driver merge
         return candidates.select(_FRONTIER_COLS).orderBy(*order).limit(bsize)
@@ -441,6 +465,18 @@ class FrontierEngine:
                            "rule"]],
                 rnd,
             )
+            # per-(task,host) lineage: scheduled/fetched/failed per
+            # round (north_rule: per-partition lineage + metrics)
+            lineage = (
+                batch_pd.groupby(["task", "host"])
+                .agg(
+                    scheduled=("url_hash", "size"),
+                    fetched=("fetched", "sum"),
+                )
+                .reset_index()
+            )
+            lineage["failed"] = lineage["scheduled"] - lineage["fetched"]
+            self._ledger_append("lineage", lineage, rnd)
             seen = self._read_seen_upto(None)
             self._ledger_append("items", items_pd, rnd)
 
@@ -517,3 +553,6 @@ class FrontierEngine:
 
     def read_metrics(self) -> pd.DataFrame:
         return pd.read_parquet(self._p("metrics.parquet"))
+
+    def read_lineage(self) -> DataFrame:
+        return self.spark.read.parquet(self._p("lineage"))

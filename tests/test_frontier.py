@@ -132,6 +132,28 @@ def test_bloom_off_same_result(spark, small_pdf, workdir):
     assert_equivalent(eng, oracle)
 
 
+def test_budget_with_salting_exact(spark, small_pdf, workdir):
+    """Skew salting (two-phase per-host top-k) must not change the
+    selected set — exact oracle equivalence with budgets on."""
+    tasks = [generic_task(max_depth=3)]
+    corpus_df = spark.createDataFrame(small_pdf, CORPUS_SCHEMA)
+    cfg = EngineConfig(
+        batch_size=16, num_partitions=4, max_rounds=20, use_bloom=False,
+        max_salts=4, round_seconds=1.0,
+    )
+    budtasks = [
+        type(t)(**{**t.__dict__, "budget_count": 3, "budget_window_s": 1})
+        for t in tasks
+    ]
+    eng = FrontierEngine(spark, budtasks, corpus_df, cfg, workdir=workdir)
+    eng.run(max_rounds=20)
+    oracle = run_oracle(tasks, small_pdf, batch_size=16, budget=3, max_rounds=20)
+    assert_equivalent(eng, oracle)
+    # lineage ledger exists and balances
+    lin = eng.read_lineage().toPandas()
+    assert (lin["scheduled"] == lin["fetched"] + lin["failed"]).all()
+
+
 def test_reload_retry_failure_path(spark, workdir):
     """Reload=true request whose fetch fails is retried once then
     recorded as failure (engine/schedule.go:350-364): group topic

@@ -1,0 +1,149 @@
+"""Scaling-efficiency evidence (BASELINE.json north_rule).
+
+The rule's two-cluster-size criterion (N vs 4N executors, efficiency
+≥ 0.8) cannot use a real cluster in this sandbox; per the driver
+instruction it is evidenced by running the SAME frontier crawl on the
+SAME input at two parallelism levels (local[8] vs local[32]) in fresh
+JVMs, reporting throughput at both and efficiency =
+(throughput_32 / throughput_8) / 4.
+
+Writes BENCH/BASELINE.md. Usage: python BENCH/scaling.py [quick]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+RUNNER = r"""
+import json, sys, time
+sys.path.insert(0, {repo!r})
+from crawler_spark.session import get_spark
+from crawler_spark.config import EngineConfig
+from crawler_spark.plans.frontier import FrontierEngine
+from crawler_spark.sources.corpus import build_corpus_df, generic_task
+
+cores = int(sys.argv[1]); pages = int(sys.argv[2]); batch = int(sys.argv[3]); rounds = int(sys.argv[4])
+spark = get_spark(f"scaling_{{cores}}", cores=cores, shuffle_partitions=cores)
+spark.sparkContext.setLogLevel("ERROR")
+n_hosts = max(16, pages // 2000)
+corpus = build_corpus_df(spark, seed=42, n_generic=pages, n_hosts=n_hosts,
+                         out_degree=10, include_douban=False,
+                         num_partitions=max(cores * 2, 16)).persist()
+corpus.count()
+cfg = EngineConfig(batch_size=batch, num_partitions=cores, use_bloom=True,
+                   bloom_capacity=max(pages * 2, 1 << 20), checkpoint_every=0)
+task = generic_task(max_depth=64, n_seeds=batch, n_hosts=n_hosts)
+eng = FrontierEngine(spark, [task], corpus, cfg,
+                     workdir=f"/tmp/scaling_work_{{cores}}")
+t = time.time()
+eng.run(max_rounds=rounds, record_order=False)
+dt = time.time() - t
+scheduled = sum(m["batch"] for m in eng.metrics)
+print("RESULT " + json.dumps({{
+    "cores": cores, "pages": pages, "batch": batch,
+    "rounds": len(eng.metrics), "urls": scheduled,
+    "secs": round(dt, 2), "urls_per_sec": round(scheduled / dt, 1),
+    "phases": eng.metrics,
+}}))
+spark.stop()
+"""
+
+
+def run_one(cores: int, pages: int, batch: int, rounds: int) -> dict:
+    code = RUNNER.format(repo=REPO)
+    out = subprocess.run(
+        [sys.executable, "-c", code, str(cores), str(pages), str(batch), str(rounds)],
+        capture_output=True,
+        text=True,
+        timeout=3600,
+    )
+    for line in out.stdout.splitlines():
+        if line.startswith("RESULT "):
+            return json.loads(line[7:])
+    raise RuntimeError(f"run cores={cores} failed:\n{out.stdout[-2000:]}\n{out.stderr[-3000:]}")
+
+
+def main():
+    quick = len(sys.argv) > 1 and sys.argv[1] == "quick"
+    pages = 60_000 if quick else 200_000
+    batch = 10_000 if quick else 40_000
+    rounds = 3 if quick else 4
+
+    results = {}
+    for cores in (8, 32):
+        results[cores] = run_one(cores, pages, batch, rounds)
+        print(f"local[{cores}]: {results[cores]['urls_per_sec']} urls/s "
+              f"({results[cores]['secs']}s)", flush=True)
+
+    r8, r32 = results[8], results[32]
+    eff = round((r32["urls_per_sec"] / r8["urls_per_sec"]) / 4.0, 3)
+    speedup = round(r32["urls_per_sec"] / r8["urls_per_sec"], 2)
+
+    md = f"""# BENCH/BASELINE — frontier throughput & scaling evidence
+
+Generated {time.strftime('%Y-%m-%d %H:%M:%S')} by `python BENCH/scaling.py`.
+
+## Method
+
+Same job, same deterministic synthetic Common-Crawl-style corpus
+({pages:,} pages, one hot host ≈30% of pages, ~2% dangling links),
+same crawl config (batch={batch:,}, {rounds} steady-state rounds,
+bloom seen-set, no politeness cap), run at two parallelism levels in
+fresh JVMs — the sandbox stand-in for N vs 4N executors per the
+driver instruction. Throughput = URLs scheduled+deduped / crawl
+seconds (corpus generation excluded; it is measured separately by
+bench.py).
+
+## Results
+
+| config | rounds | URLs | secs | URLs/sec |
+|---|---|---|---|---|
+| local[8]  | {r8['rounds']} | {r8['urls']:,} | {r8['secs']} | {r8['urls_per_sec']} |
+| local[32] | {r32['rounds']} | {r32['urls']:,} | {r32['secs']} | {r32['urls_per_sec']} |
+
+- speedup 8→32 cores (4× resources): **{speedup}×**
+- scaling efficiency = (thpt32/thpt8)/4 = **{eff}** (target ≥ 0.8)
+
+## Reference comparison
+
+The reference Go crawler publishes no benchmark numbers
+(/root/reference/README.md is empty; its only test is log rotation).
+Its effective fetch throughput is politeness-bound: the shipped config
+is 1 request / 2 s per task (config.toml:5) across 5 worker goroutines
+(worker.go:128) — ≈ 0.5-2.5 URLs/s end-to-end. This engine schedules
+and dedups the frontier at {r32['urls_per_sec']:,.0f} URLs/s on one
+node while enforcing the same politeness semantics per (task, host)
+when budgets are configured; fetch itself is the simulated corpus
+join (no network in the sandbox).
+
+## Per-round phase breakdown (local[32])
+
+| round | batch | t_select | t_fetch_parse | t_frontier |
+|---|---|---|---|---|
+"""
+    for m in r32["phases"]:
+        md += (f"| {m['round']} | {m['batch']} | {m.get('t_select','-')} |"
+               f" {m.get('t_fetch_parse','-')} | {m.get('t_frontier','-')} |\n")
+    md += """
+Phases: `t_select` = eligibility (depth/robots/seen anti-join +
+bloom) + priority/budget windows + TakeOrdered batch cut;
+`t_fetch_parse` = broadcast corpus join + Arrow parse UDF + bounded
+driver collect; `t_frontier` = deferred anti-join ∪ children ∪
+retries → repartition(url_hash) → parquet snapshot.
+"""
+    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+        f.write(md)
+    with open(os.path.join(REPO, "BENCH", "scaling.json"), "w") as f:
+        json.dump({"results": {str(k): v for k, v in results.items()},
+                   "efficiency": eff, "speedup": speedup}, f, indent=2)
+    print(f"efficiency={eff} speedup={speedup} -> BENCH/BASELINE.md")
+
+
+if __name__ == "__main__":
+    main()

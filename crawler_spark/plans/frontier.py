@@ -366,8 +366,11 @@ class FrontierEngine:
             if cfg.use_bloom:
                 self._bloom = BloomFilter(cfg.bloom_capacity, cfg.bloom_fpp)
 
+        import time as _time
+
         rounds_done = 0
         while rounds_done < max_rounds:
+            _t0 = _time.time()
             next_round = self.round + 1
             # --- select batch and bring the bounded set to the driver
             # (eligible is persisted: both the batch selection and the
@@ -375,6 +378,7 @@ class FrontierEngine:
             # fully reclaimable via .unpersist() below)
             eligible = self._eligible(frontier, seen).persist()
             batch_pd = self._select_batch(eligible).toPandas()
+            _t_select = _time.time()
             if batch_pd.empty:
                 eligible.unpersist()
                 break
@@ -417,6 +421,7 @@ class FrontierEngine:
                 "url_hash", "task", "rule", "req_url", "warc_ts", "pull_rank",
                 "parsed.items",
             ).collect()
+            _t_fetch = _time.time()
             fetched_hashes = {r.url_hash for r in fetch_rows}
             items_pd = pd.DataFrame(
                 [
@@ -493,6 +498,7 @@ class FrontierEngine:
             frontier = self._materialize_frontier(new_frontier, rnd)
             parsed.unpersist()
             eligible.unpersist()
+            _t_end = _time.time()
 
             self.metrics.append(
                 {
@@ -502,6 +508,9 @@ class FrontierEngine:
                     "failures": int(len(hard_fail)),
                     "retries": int(len(retry_pd)),
                     "items": int(len(items_pd)),
+                    "t_select": round(_t_select - _t0, 2),
+                    "t_fetch_parse": round(_t_fetch - _t_select, 2),
+                    "t_frontier": round(_t_end - _t_fetch, 2),
                 }
             )
             self._write_manifest()

@@ -1,0 +1,100 @@
+"""Continuous-mode frontier ingest via Structured Streaming.
+
+The reference's scheduler loop is an unbounded channel consumer with
+no event-time/watermark notion (engine/schedule.go:177-206) — its
+batch analogue (plans/frontier.py) is what ordering parity is defined
+against. This module is the streaming face of the same dataflow for
+deployments where discovered URLs arrive continuously:
+
+    readStream(parquet dir of discovered requests)
+      → canonicalize + hash (same identity as the batch engine)
+      → watermark on discovery time
+      → streaming dedup on url_hash within the watermark
+        (dropDuplicatesWithinWatermark — the URL-seen set with state
+        TTL; exact global dedup stays in the batch engine's seen table)
+      → per-(host, window) arrival counts (politeness telemetry)
+      → foreachBatch parquet append
+
+State stays bounded by the watermark TTL — at 10^10-URL scale the
+streaming layer only pre-dedups the recent horizon; the authoritative
+seen-set check happens in the batch rounds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from crawler_spark.functions.urlnorm import canonicalize_udf, host_of_udf, url_hash_expr
+
+DISCOVERED_SCHEMA = StructType(
+    [
+        StructField("url", StringType()),
+        StructField("discovered_at", TimestampType()),
+        StructField("priority", IntegerType()),
+        StructField("rule", StringType()),
+    ]
+)
+
+
+def discovered_stream(spark: SparkSession, input_dir: str) -> DataFrame:
+    return (
+        spark.readStream.schema(DISCOVERED_SCHEMA)
+        .parquet(input_dir)
+        .withColumn("canon_url", canonicalize_udf(F.col("url")))
+        .withColumn("host", host_of_udf(F.col("url")))
+        .withColumn("url_hash", url_hash_expr(F.col("canon_url")))
+    )
+
+
+def deduped_requests(stream: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """Streaming URL-seen within the watermark horizon."""
+    return (
+        stream.withWatermark("discovered_at", watermark)
+        .dropDuplicatesWithinWatermark(["url_hash"])
+    )
+
+
+def host_window_counts(
+    stream: DataFrame, watermark: str = "10 minutes", window: str = "1 minute"
+) -> DataFrame:
+    """Per-host tumbling-window arrival counts (politeness telemetry)."""
+    return (
+        stream.withWatermark("discovered_at", watermark)
+        .groupBy(F.window("discovered_at", window).alias("w"), F.col("host"))
+        .agg(F.count("*").alias("n_discovered"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "host",
+            "n_discovered",
+        )
+    )
+
+
+def run_available_now(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    watermark: str = "10 minutes",
+) -> None:
+    """Drain everything currently in input_dir (Trigger.AvailableNow)
+    through dedup into a parquet sink, then stop."""
+    q = (
+        deduped_requests(discovered_stream(spark, input_dir), watermark)
+        .select("url", "canon_url", "host", "url_hash", "priority", "rule",
+                "discovered_at")
+        .writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -1,0 +1,94 @@
+"""Structured Streaming frontier ingest: watermarked dedup + windowed
+per-host counts, drained with Trigger.AvailableNow."""
+
+import os
+
+import pandas as pd
+
+
+def _write_batch(input_dir: str, name: str, rows: list[tuple]):
+    os.makedirs(input_dir, exist_ok=True)
+    pdf = pd.DataFrame(
+        rows, columns=["url", "discovered_at", "priority", "rule"]
+    )
+    pdf["discovered_at"] = pd.to_datetime(pdf["discovered_at"])
+    pdf["priority"] = pdf["priority"].astype("int32")
+    pdf.to_parquet(
+        os.path.join(input_dir, f"{name}.parquet"),
+        index=False,
+        coerce_timestamps="us",
+        allow_truncated_timestamps=True,
+    )
+
+
+def test_streaming_dedup_available_now(spark, tmp_path):
+    from crawler_spark.streaming.continuous import run_available_now
+
+    input_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    _write_batch(
+        input_dir,
+        "b0",
+        [
+            ("https://A.com/x#f", "2024-01-01 00:00:00", 0, "link"),
+            ("https://a.com/x", "2024-01-01 00:00:10", 0, "link"),  # dup of ^ (canon)
+            ("https://b.com/y", "2024-01-01 00:00:20", 1, "link"),
+        ],
+    )
+    run_available_now(spark, input_dir, out_dir, ckpt)
+    out = spark.read.parquet(out_dir).collect()
+    # canonical dedup folded the first two into one
+    assert len(out) == 2
+    assert {r.canon_url for r in out} == {"https://a.com/x", "https://b.com/y"}
+
+    # incremental: a later file with one dup + one new url
+    _write_batch(
+        input_dir,
+        "b1",
+        [
+            ("https://b.com/y", "2024-01-01 00:01:00", 0, "link"),  # dup within wm
+            ("https://c.com/z", "2024-01-01 00:01:30", 0, "link"),
+        ],
+    )
+    run_available_now(spark, input_dir, out_dir, ckpt)
+    out2 = spark.read.parquet(out_dir).collect()
+    assert {r.canon_url for r in out2} == {
+        "https://a.com/x", "https://b.com/y", "https://c.com/z",
+    }
+    assert len(out2) == 3
+
+
+def test_streaming_host_window_counts(spark, tmp_path):
+    from crawler_spark.streaming.continuous import (
+        discovered_stream,
+        host_window_counts,
+    )
+
+    input_dir = str(tmp_path / "in")
+    _write_batch(
+        input_dir,
+        "b0",
+        [
+            ("https://a.com/1", "2024-01-01 00:00:05", 0, "link"),
+            ("https://a.com/2", "2024-01-01 00:00:25", 0, "link"),
+            ("https://a.com/3", "2024-01-01 00:01:05", 0, "link"),
+            ("https://b.com/1", "2024-01-01 00:00:45", 0, "link"),
+        ],
+    )
+    counts = host_window_counts(discovered_stream(spark, input_dir))
+    q = (
+        counts.writeStream.format("memory")
+        .queryName("host_counts")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = {
+        (str(r.window_start), r.host): r.n_discovered
+        for r in spark.sql("SELECT * FROM host_counts").collect()
+    }
+    assert rows[("2024-01-01 00:00:00", "a.com")] == 2
+    assert rows[("2024-01-01 00:01:00", "a.com")] == 1
+    assert rows[("2024-01-01 00:00:00", "b.com")] == 1

@@ -111,6 +111,7 @@ def main():
 
     workdir = "/tmp/crawler_spark_bench"
     frontier = bench_frontier(spark, cpus, workdir)
+    spark.catalog.clearCache()  # crawl state must not tax the queries
 
     query_secs = {}
     for name in BENCH_QUERIES:

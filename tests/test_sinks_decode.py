@@ -1,0 +1,72 @@
+"""Items-sink per-task tables + charset decode hook + multimodal
+feature plumbing."""
+
+import pandas as pd
+
+from crawler_spark.functions.decode import decode_html_bytes
+from crawler_spark.plans.frontier import FrontierEngine
+from crawler_spark.config import EngineConfig
+from crawler_spark.rules import BOOK_TASK
+from crawler_spark.sources.corpus import CORPUS_SCHEMA, build_corpus_pdf
+from crawler_spark.sources.items_sink import task_items_table, item_fields_of
+
+
+def test_decode_utf8_and_fallbacks():
+    assert decode_html_bytes("héllo 阳台".encode()) == "héllo 阳台"
+    assert decode_html_bytes(b"\xef\xbb\xbfabc") == "abc"
+    # invalid utf-8 → latin-1 fallback, never raises
+    assert decode_html_bytes(b"\xff\xfd\x80") is not None
+    assert decode_html_bytes(None) is None
+
+
+def test_decode_udf_matches_corpus_text(spark):
+    pdf = build_corpus_pdf(
+        seed=42, n_generic=5, n_hosts=2, n_lists=1, books_per_list=1, n_topics=1
+    )
+    from pyspark.sql import functions as F
+
+    from crawler_spark.functions.decode import decode_html_udf
+
+    df = spark.createDataFrame(pdf, CORPUS_SCHEMA)
+    rows = df.withColumn("decoded", decode_html_udf(F.col("html"))).collect()
+    for r in rows:
+        assert r.decoded == r.text  # byte-identical transcode
+
+
+def test_items_sink_per_task_table(spark, workdir):
+    pdf = build_corpus_pdf(
+        seed=42, n_generic=0, n_lists=2, books_per_list=2, n_topics=0
+    )
+    corpus = spark.createDataFrame(pdf, CORPUS_SCHEMA)
+    cfg = EngineConfig(batch_size=8, num_partitions=4, use_bloom=False)
+    eng = FrontierEngine(spark, [BOOK_TASK], corpus, cfg, workdir=workdir)
+    eng.run(max_rounds=20)
+    fields = item_fields_of(BOOK_TASK)
+    assert fields == ["书名", "作者", "页数", "出版社", "得分", "价格", "简介"]
+    table = task_items_table(eng.read_items(), BOOK_TASK).toPandas()
+    assert len(table) == 4  # 2 lists × 2 books
+    assert set(fields + ["url", "warc_ts"]) == set(table.columns)
+    assert (table["作者"] != "").all()
+    # 页数 passed through strconv.Atoi semantics → numeric string
+    assert table["页数"].str.match(r"^-?\d+$").all()
+
+
+def test_multimodal_plumbing(spark):
+    from crawler_spark.operators.multimodal import (
+        attach_fake_payload,
+        extract_features,
+    )
+
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2], "text": ["abc", "defg"]})
+    )
+    feats = extract_features(attach_fake_payload(docs)).collect()
+    assert len(feats) == 2
+    by_id = {r.media_id: r for r in feats}
+    assert by_id[1].n_bytes == 3
+    assert by_id[1].kind == "image"
+    assert by_id[1].feature_dim == 512
+    assert 64 <= by_id[1].width < 2048
+    import hashlib
+
+    assert by_id[2].content_hash == hashlib.md5(b"defg").hexdigest()

@@ -114,6 +114,8 @@ class EngineConfig:
     # resume granularity, more IO)
     use_bloom: bool = True
     # engage the bloom prefilter only once the seen set is at least
-    # this large — below it the plain JVM anti-join is cheaper than a
-    # Python/Arrow bloom round-trip
-    bloom_min_seen: int = 50_000
+    # this large — below it a broadcast JVM anti-join beats the
+    # Python/Arrow bloom round-trip; above broadcast size, the bloom
+    # lets definitely-new rows (the vast majority of a growing crawl)
+    # skip the seen shuffle entirely
+    bloom_min_seen: int = 1_000_000

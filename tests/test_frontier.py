@@ -27,7 +27,7 @@ def corpus_dict(pdf):
 
 
 def run_engine(spark, tasks, pdf, workdir, batch_size, budget=None, max_rounds=50,
-               use_bloom=True):
+               use_bloom=True, bloom_min_seen=1 << 30):
     corpus_df = spark.createDataFrame(pdf, CORPUS_SCHEMA)
     cfg = EngineConfig(
         batch_size=batch_size,
@@ -35,6 +35,7 @@ def run_engine(spark, tasks, pdf, workdir, batch_size, budget=None, max_rounds=5
         max_rounds=max_rounds,
         use_bloom=use_bloom,
         bloom_capacity=1 << 14,
+        bloom_min_seen=bloom_min_seen,
     )
     tasks = [t for t in tasks]
     if budget is not None:
@@ -127,6 +128,18 @@ def test_bloom_off_same_result(spark, small_pdf, workdir):
     tasks = [generic_task(max_depth=2)]
     eng = run_engine(
         spark, tasks, small_pdf, workdir, batch_size=8, max_rounds=20, use_bloom=False
+    )
+    oracle = run_oracle(tasks, small_pdf, batch_size=8, max_rounds=20)
+    assert_equivalent(eng, oracle)
+
+
+def test_bloom_forced_same_result(spark, small_pdf, workdir):
+    """Force the bloom prefilter path (bloom_min_seen=0) — split +
+    exact anti-join must stay bit-identical with the plain path."""
+    tasks = [generic_task(max_depth=3)]
+    eng = run_engine(
+        spark, tasks, small_pdf, workdir, batch_size=8, max_rounds=20,
+        use_bloom=True, bloom_min_seen=0,
     )
     oracle = run_oracle(tasks, small_pdf, batch_size=8, max_rounds=20)
     assert_equivalent(eng, oracle)

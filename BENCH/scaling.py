@@ -55,18 +55,33 @@ spark.stop()
 """
 
 
-def run_one(cores: int, pages: int, batch: int, rounds: int) -> dict:
+def run_one(cores: int, pages: int, batch: int, rounds: int, trials: int = 2) -> dict:
+    """Best of ``trials`` fresh-JVM runs — the sandbox is a shared-host
+    VM with visible steal time; min wall-clock is the standard way to
+    control for neighbor interference."""
     code = RUNNER.format(repo=REPO)
-    out = subprocess.run(
-        [sys.executable, "-c", code, str(cores), str(pages), str(batch), str(rounds)],
-        capture_output=True,
-        text=True,
-        timeout=3600,
-    )
-    for line in out.stdout.splitlines():
-        if line.startswith("RESULT "):
-            return json.loads(line[7:])
-    raise RuntimeError(f"run cores={cores} failed:\n{out.stdout[-2000:]}\n{out.stderr[-3000:]}")
+    best = None
+    env = dict(os.environ, SPARK_DRIVER_MEM=os.environ.get("SPARK_DRIVER_MEM", "48g"))
+    for _ in range(trials):
+        out = subprocess.run(
+            [sys.executable, "-c", code, str(cores), str(pages), str(batch),
+             str(rounds)],
+            capture_output=True,
+            text=True,
+            timeout=3600,
+            env=env,
+        )
+        res = None
+        for line in out.stdout.splitlines():
+            if line.startswith("RESULT "):
+                res = json.loads(line[7:])
+        if res is None:
+            raise RuntimeError(
+                f"run cores={cores} failed:\n{out.stdout[-2000:]}\n{out.stderr[-3000:]}"
+            )
+        if best is None or res["secs"] < best["secs"]:
+            best = res
+    return best
 
 
 def main():

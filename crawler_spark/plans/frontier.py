@@ -149,25 +149,40 @@ class FrontierEngine:
         self._snapshot_round = 0
         self._seen_count = 0
         self._any_budget = any(t.budget_count > 0 for t in tasks)
+        self._any_items = any(
+            r.item_fields or r.match_regex for t in tasks for r in t.rules
+        )
 
     # ---------------- state paths / driver-side ledgers ----------------
     def _p(self, *parts: str) -> str:
         return os.path.join(self.workdir, *parts)
 
     def _ledger_append(self, name: str, pdf: pd.DataFrame, round_no: int) -> None:
-        """Driver-side parquet append (no Spark job) for bounded,
-        per-round bookkeeping: order log, seen deltas, failures."""
+        """Driver-side parquet append (no Spark job) for *bounded*
+        per-round bookkeeping (failures, lineage). Layout matches the
+        Spark-written ledgers: <name>/round=<k>/part-0.parquet with
+        ``round`` as a partition directory column."""
         if pdf.empty:
             return
-        d = self._p(name)
+        d = self._p(name, f"round={round_no}")
         os.makedirs(d, exist_ok=True)
-        pdf = pdf.copy()
-        pdf["round"] = round_no
         pdf.to_parquet(
-            os.path.join(d, f"round_{round_no:06d}.parquet"),
+            os.path.join(d, "part-0.parquet"),
             index=False,
             coerce_timestamps="us",  # Spark rejects TIMESTAMP(NANOS)
             allow_truncated_timestamps=True,
+        )
+
+    def _ledger_write_df(
+        self, df: DataFrame, name: str, round_no: int, n_files: int = 2
+    ) -> None:
+        """Distributed ledger append (unbounded-safe): one parquet dir
+        per round — the seen set, crawl-order log, and items never pass
+        through the driver. Few output files on purpose: every created
+        file costs a fork+exec chmod on libhadoop-less local FS, and
+        parquet row-group splitting keeps reads parallel regardless."""
+        df.coalesce(n_files).write.mode("overwrite").parquet(
+            self._p(name, f"round={round_no}")
         )
 
     def _write_manifest(self) -> None:
@@ -177,13 +192,13 @@ class FrontierEngine:
             )
 
     def _truncate_ledgers(self, upto_round: int) -> None:
-        """Drop ledger files from rounds after ``upto_round`` (stale
-        future state when resuming from an older snapshot)."""
+        """Drop ledger rounds after ``upto_round`` (stale future state
+        when resuming from an older snapshot)."""
         for name in ("seen", "order", "items", "failures", "lineage"):
-            for f in glob.glob(self._p(name, "round_*.parquet")):
-                rnd = int(os.path.basename(f)[6:12])
+            for d in glob.glob(self._p(name, "round=*")):
+                rnd = int(os.path.basename(d).split("=")[1])
                 if rnd > upto_round:
-                    os.remove(f)
+                    shutil.rmtree(d, ignore_errors=True)
 
     # ---------------- seeds ----------------
     def seed_frontier(self) -> DataFrame:
@@ -316,10 +331,13 @@ class FrontierEngine:
         durable = force_snapshot or (
             cfg.checkpoint_every > 0 and round_no % cfg.checkpoint_every == 0
         )
-        # fixed url_hash partitioning: caps task count (unions would
-        # otherwise accumulate partitions round over round) and aligns
-        # with the dedup window's partitionBy("url_hash")
-        df = df.repartition(cfg.num_partitions, "url_hash")
+        # url_hash repartition caps task count (unions would otherwise
+        # accumulate partitions round over round); few reduce/writer
+        # partitions — file creates fork chmod on libhadoop-less local
+        # FS, and read parallelism comes from row-group splits + the
+        # next round's shuffles, not file count. Map-side (canonicalize
+        # UDF etc.) keeps full upstream parallelism.
+        df = df.repartition(min(8, cfg.num_partitions), "url_hash")
         path = self._p("frontier", f"round={round_no}")
         df.write.mode("overwrite").parquet(path)
         out = self.spark.read.schema(FRONTIER_SCHEMA).parquet(path)
@@ -352,10 +370,13 @@ class FrontierEngine:
             seen = self._read_seen_upto(self.round)
             if cfg.use_bloom:
                 self._bloom = BloomFilter(cfg.bloom_capacity, cfg.bloom_fpp)
-                for f in glob.glob(self._p("seen", "*.parquet")):
-                    pdf = pd.read_parquet(f)
-                    self._bloom.add_many(pdf["url_hash"].tolist())
-                    self._seen_count += len(pdf)
+                for d in glob.glob(self._p("seen", "round=*")):
+                    if int(os.path.basename(d).split("=")[1]) > self.round:
+                        continue
+                    for f in glob.glob(os.path.join(d, "*.parquet")):
+                        pdf = pd.read_parquet(f)
+                        self._bloom.add_many(pdf["url_hash"].tolist())
+                        self._seen_count += len(pdf)
         else:
             if os.path.exists(self.workdir):
                 shutil.rmtree(self.workdir)
@@ -371,36 +392,31 @@ class FrontierEngine:
         rounds_done = 0
         while rounds_done < max_rounds:
             _t0 = _time.time()
-            next_round = self.round + 1
-            # --- select batch and bring the bounded set to the driver
-            # (eligible is persisted: both the batch selection and the
-            # deferred-rows anti-join read it, and plain .persist() is
-            # fully reclaimable via .unpersist() below)
+            # --- batch selection, fully distributed. The batch stays a
+            # (persisted) DataFrame; the driver never sees frontier
+            # rows — only bounded failure/lineage aggregates below.
+            # pull_rank via a window over the already-LIMITed batch
+            # (≤ batch_size rows, so the single-partition sort is
+            # bounded by config, not by data).
             eligible = self._eligible(frontier, seen).persist()
-            batch_pd = self._select_batch(eligible).toPandas()
+            w_batch = Window.orderBy(*self._pull_order())
+            batch = (
+                self._select_batch(eligible)
+                .withColumn("pull_rank", F.row_number().over(w_batch) - 1)
+                .persist()
+            )
+            n_batch = batch.count()
             _t_select = _time.time()
-            if batch_pd.empty:
+            if n_batch == 0:
                 eligible.unpersist()
+                batch.unpersist()
                 break
-            self.round = next_round
+            self.round += 1
             rounds_done += 1
             rnd = self.round
-            batch_pd = batch_pd.reset_index(drop=True)
-            batch_pd["pull_rank"] = batch_pd.index.astype("int64")
 
             # --- simulated fetch: broadcast bounded batch into corpus
-            probe_cols = [
-                "task", "req_url", "canon_url", "host", "url_hash", "depth",
-                "priority", "rule", "reload", "temp", "seq", "pull_rank",
-            ]
-            probe = self.spark.createDataFrame(
-                batch_pd.rename(columns={"url": "req_url"})[probe_cols],
-                schema=(
-                    "task string, req_url string, canon_url string, host string,"
-                    " url_hash string, depth int, priority int, rule string,"
-                    " reload boolean, temp string, seq long, pull_rank long"
-                ),
-            )
+            probe = batch.withColumnRenamed("url", "req_url")
             hits = self.corpus.join(F.broadcast(probe), "canon_url", "inner")
             parsed = hits.withColumn(
                 "parsed",
@@ -411,83 +427,97 @@ class FrontierEngine:
                     F.col("temp"),
                 ),
             ).persist()
-            children = self._children(parsed)
 
-            # --- bounded driver-side bookkeeping: one collect brings
-            # back O(batch) rows (url_hash for the fetch ledger +
-            # extracted items, both bounded by the politeness-capped
-            # batch — the unbounded link fan-out stays distributed)
-            fetch_rows = parsed.select(
-                "url_hash", "task", "rule", "req_url", "warc_ts", "pull_rank",
-                "parsed.items",
-            ).collect()
-            _t_fetch = _time.time()
-            fetched_hashes = {r.url_hash for r in fetch_rows}
-            items_pd = pd.DataFrame(
-                [
-                    {
-                        "task": r.task,
-                        "rule": r.rule,
-                        "url": r.req_url,
-                        "warc_ts": r.warc_ts,
-                        "pull_rank": r.pull_rank,
-                        "fields": f,
-                    }
-                    for r in fetch_rows
-                    for f in (r.items or [])
-                ]
+            # --- failures are the only per-request rows the driver
+            # touches (bounded by batch, normally tiny)
+            failures_pd = (
+                probe.join(parsed.select("url_hash"), "url_hash", "left_anti")
+                .select(
+                    "task", F.col("req_url").alias("url"), "canon_url",
+                    "url_hash", "host", "depth", "priority", "rule", "reload",
+                    "temp", "seq", "pull_rank",
+                )
+                .toPandas()
             )
-            batch_pd["fetched"] = batch_pd["url_hash"].isin(fetched_hashes)
-            failed = batch_pd[~batch_pd["fetched"]]
-            retry_pd = failed[failed["reload"]].copy()
-            hard_fail = failed[~failed["reload"]]
+            _t_fetch = _time.time()
+            n_failed = len(failures_pd)
+            retry_pd = failures_pd[failures_pd["reload"]].copy()
+            hard_fail = failures_pd[~failures_pd["reload"]]
             # first failure of a reload request: un-mark + re-push with
             # reload cleared and a fresh seq (schedule.go:350-364)
             retry_pd["reload"] = False
             retry_pd["seq"] = (rnd << _ROUND_SHIFT) + (
                 retry_pd["pull_rank"].astype("int64") * (1 << _RANK_SHIFT)
             )
-            retry_hashes = set(retry_pd["url_hash"])
-            seen_delta = batch_pd[~batch_pd["url_hash"].isin(retry_hashes)][
-                ["url_hash"]
-            ]
-            self._ledger_append("seen", seen_delta, rnd)
-            self._seen_count += len(seen_delta)
-            if self._bloom is not None:
-                self._bloom.add_many(seen_delta["url_hash"].tolist())
-            if record_order:
-                self._ledger_append(
-                    "order",
-                    batch_pd[
-                        ["pull_rank", "seq", "task", "url", "canon_url", "url_hash",
-                         "host", "depth", "priority", "rule", "fetched"]
-                    ],
-                    rnd,
+            retry_hashes = list(retry_pd["url_hash"])
+
+            # --- seen delta (distributed write): batch hashes minus
+            # same-round reload un-marks
+            seen_delta = batch.select("url_hash")
+            if retry_hashes:
+                seen_delta = seen_delta.filter(
+                    ~F.col("url_hash").isin(retry_hashes)
                 )
+            if self._bloom is not None:
+                # bloom needs the hashes driver-side (B-bounded)
+                delta_pd = seen_delta.toPandas()
+                self._ledger_append("seen", delta_pd, rnd)
+                self._bloom.add_many(delta_pd["url_hash"].tolist())
+                self._seen_count += len(delta_pd)
+            else:
+                self._ledger_write_df(seen_delta, "seen", rnd)
+                self._seen_count += n_batch - len(retry_hashes)
+
+            fetched_flag = parsed.select("url_hash").withColumn(
+                "fetched", F.lit(True)
+            )
+            if record_order:
+                order_df = (
+                    batch.join(fetched_flag, "url_hash", "left")
+                    .select(
+                        "pull_rank", "seq", "task", "url", "canon_url",
+                        "url_hash", "host", "depth", "priority", "rule",
+                        F.coalesce("fetched", F.lit(False)).alias("fetched"),
+                    )
+                )
+                self._ledger_write_df(order_df, "order", rnd)
             self._ledger_append(
                 "failures",
-                hard_fail[["task", "url", "canon_url", "url_hash", "host", "depth",
-                           "rule"]],
+                hard_fail[["task", "url", "canon_url", "url_hash", "host",
+                           "depth", "rule"]],
                 rnd,
             )
-            # per-(task,host) lineage: scheduled/fetched/failed per
-            # round (north_rule: per-partition lineage + metrics)
-            lineage = (
-                batch_pd.groupby(["task", "host"])
-                .agg(
-                    scheduled=("url_hash", "size"),
-                    fetched=("fetched", "sum"),
-                )
-                .reset_index()
+            # per-(task,host) lineage (north_rule: per-partition
+            # lineage + metrics): small aggregate collect
+            sched_pd = (
+                batch.groupBy("task", "host")
+                .agg(F.count("*").alias("scheduled"))
+                .toPandas()
             )
-            lineage["failed"] = lineage["scheduled"] - lineage["fetched"]
-            self._ledger_append("lineage", lineage, rnd)
+            fail_counts = (
+                failures_pd.groupby(["task", "host"]).size().rename("failed")
+                if n_failed
+                else None
+            )
+            lineage = sched_pd.set_index(["task", "host"])
+            lineage["failed"] = fail_counts if fail_counts is not None else 0
+            lineage["failed"] = lineage["failed"].fillna(0).astype("int64")
+            lineage["fetched"] = lineage["scheduled"] - lineage["failed"]
+            self._ledger_append("lineage", lineage.reset_index(), rnd)
+
+            if self._any_items:
+                items_df = parsed.select(
+                    "task", "rule", F.col("req_url").alias("url"), "warc_ts",
+                    "pull_rank", F.explode("parsed.items").alias("fields"),
+                )
+                self._ledger_write_df(items_df, "items", rnd)
+
             seen = self._read_seen_upto(None)
-            self._ledger_append("items", items_pd, rnd)
 
             # --- next frontier: deferred ∪ children ∪ retries
+            children = self._children(parsed)
             deferred = eligible.join(
-                F.broadcast(probe.select("seq")), "seq", "left_anti"
+                F.broadcast(batch.select("seq")), "seq", "left_anti"
             ).select(_FRONTIER_COLS)
             new_frontier = deferred.unionByName(children)
             if not retry_pd.empty:
@@ -498,16 +528,16 @@ class FrontierEngine:
             frontier = self._materialize_frontier(new_frontier, rnd)
             parsed.unpersist()
             eligible.unpersist()
+            batch.unpersist()
             _t_end = _time.time()
 
             self.metrics.append(
                 {
                     "round": rnd,
-                    "batch": int(len(batch_pd)),
-                    "fetched": int(batch_pd["fetched"].sum()),
+                    "batch": int(n_batch),
+                    "fetched": int(n_batch - n_failed),
                     "failures": int(len(hard_fail)),
                     "retries": int(len(retry_pd)),
-                    "items": int(len(items_pd)),
                     "t_select": round(_t_select - _t0, 2),
                     "t_fetch_parse": round(_t_fetch - _t_select, 2),
                     "t_frontier": round(_t_end - _t_fetch, 2),
@@ -529,7 +559,7 @@ class FrontierEngine:
 
     # ---------------- result readers ----------------
     def _read_seen_upto(self, round_no: int | None) -> DataFrame | None:
-        if not glob.glob(self._p("seen", "*.parquet")):
+        if not glob.glob(self._p("seen", "round=*")):
             return None
         df = self.spark.read.parquet(self._p("seen"))
         if round_no is not None:
@@ -546,17 +576,17 @@ class FrontierEngine:
         return df
 
     def read_items(self) -> DataFrame:
-        if not glob.glob(self._p("items", "*.parquet")):
+        if not glob.glob(self._p("items", "round=*")):
             return self.spark.createDataFrame(
                 [],
-                "task string, rule string, url string, fields string, round long",
+                "task string, rule string, url string, fields string, round int",
             )
         return self.spark.read.parquet(self._p("items"))
 
     def read_failures(self) -> DataFrame:
-        if not glob.glob(self._p("failures", "*.parquet")):
+        if not glob.glob(self._p("failures", "round=*")):
             return self.spark.createDataFrame(
-                [], "task string, url string, url_hash string, round long"
+                [], "task string, url string, url_hash string, round int"
             )
         return self.spark.read.parquet(self._p("failures"))
 

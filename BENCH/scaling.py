@@ -86,8 +86,8 @@ def run_one(cores: int, pages: int, batch: int, rounds: int, trials: int = 2) ->
 
 def main():
     quick = len(sys.argv) > 1 and sys.argv[1] == "quick"
-    pages = 60_000 if quick else 200_000
-    batch = 10_000 if quick else 40_000
+    pages = 60_000 if quick else 400_000
+    batch = 10_000 if quick else 80_000
     rounds = 3 if quick else 4
 
     results = {}

@@ -451,6 +451,7 @@ class FrontierEngine:
             )
             retry_hashes = list(retry_pd["url_hash"])
 
+            _t_fail = _time.time()
             # --- seen delta (distributed write): batch hashes minus
             # same-round reload un-marks
             seen_delta = batch.select("url_hash")
@@ -468,6 +469,7 @@ class FrontierEngine:
                 self._ledger_write_df(seen_delta, "seen", rnd)
                 self._seen_count += n_batch - len(retry_hashes)
 
+            _t_seen = _time.time()
             fetched_flag = parsed.select("url_hash").withColumn(
                 "fetched", F.lit(True)
             )
@@ -513,6 +515,7 @@ class FrontierEngine:
                 self._ledger_write_df(items_df, "items", rnd)
 
             seen = self._read_seen_upto(None)
+            _t_ledg = _time.time()
 
             # --- next frontier: deferred ∪ children ∪ retries
             children = self._children(parsed)
@@ -540,7 +543,10 @@ class FrontierEngine:
                     "retries": int(len(retry_pd)),
                     "t_select": round(_t_select - _t0, 2),
                     "t_fetch_parse": round(_t_fetch - _t_select, 2),
-                    "t_frontier": round(_t_end - _t_fetch, 2),
+                    "t_failbook": round(_t_fail - _t_fetch, 2),
+                    "t_seen": round(_t_seen - _t_fail, 2),
+                    "t_ledgers": round(_t_ledg - _t_seen, 2),
+                    "t_frontier": round(_t_end - _t_ledg, 2),
                 }
             )
             self._write_manifest()

@@ -405,15 +405,6 @@ class FrontierEngine:
                 .withColumn("pull_rank", F.row_number().over(w_batch) - 1)
                 .persist()
             )
-            n_batch = batch.count()
-            _t_select = _time.time()
-            if n_batch == 0:
-                eligible.unpersist()
-                batch.unpersist()
-                break
-            self.round += 1
-            rounds_done += 1
-            rnd = self.round
 
             # --- simulated fetch: broadcast bounded batch into corpus
             probe = batch.withColumnRenamed("url", "req_url")
@@ -428,8 +419,9 @@ class FrontierEngine:
                 ),
             ).persist()
 
-            # --- failures are the only per-request rows the driver
-            # touches (bounded by batch, normally tiny)
+            # --- JOB 1: failures — the only per-request rows the
+            # driver must see (bounded by batch, normally tiny);
+            # materializes the batch + parsed caches as a side effect
             failures_pd = (
                 probe.join(parsed.select("url_hash"), "url_hash", "left_anti")
                 .select(
@@ -439,41 +431,49 @@ class FrontierEngine:
                 )
                 .toPandas()
             )
-            _t_fetch = _time.time()
+            _t_select = _time.time()
             n_failed = len(failures_pd)
             retry_pd = failures_pd[failures_pd["reload"]].copy()
             hard_fail = failures_pd[~failures_pd["reload"]]
-            # first failure of a reload request: un-mark + re-push with
-            # reload cleared and a fresh seq (schedule.go:350-364)
-            retry_pd["reload"] = False
-            retry_pd["seq"] = (rnd << _ROUND_SHIFT) + (
-                retry_pd["pull_rank"].astype("int64") * (1 << _RANK_SHIFT)
-            )
             retry_hashes = list(retry_pd["url_hash"])
 
-            _t_fail = _time.time()
-            # --- seen delta (distributed write): batch hashes minus
-            # same-round reload un-marks
-            seen_delta = batch.select("url_hash")
+            # --- JOB 2: seen delta (batch hashes minus same-round
+            # reload un-marks, schedule.go:350-364). B-bounded collect:
+            # it doubles as the batch count, the bloom feed, and the
+            # per-(task,host) lineage source — one job instead of three.
+            seen_delta = batch.select("url_hash", "task", "host")
             if retry_hashes:
                 seen_delta = seen_delta.filter(
                     ~F.col("url_hash").isin(retry_hashes)
                 )
-            if self._bloom is not None:
-                # bloom needs the hashes driver-side (B-bounded)
-                delta_pd = seen_delta.toPandas()
-                self._ledger_append("seen", delta_pd, rnd)
-                self._bloom.add_many(delta_pd["url_hash"].tolist())
-                self._seen_count += len(delta_pd)
-            else:
-                self._ledger_write_df(seen_delta, "seen", rnd)
-                self._seen_count += n_batch - len(retry_hashes)
-
-            _t_seen = _time.time()
-            fetched_flag = parsed.select("url_hash").withColumn(
-                "fetched", F.lit(True)
+            delta_pd = seen_delta.toPandas()
+            _t_fetch = _time.time()
+            n_batch = len(delta_pd) + len(retry_hashes)
+            if n_batch == 0:
+                eligible.unpersist()
+                batch.unpersist()
+                parsed.unpersist()
+                break
+            self.round += 1
+            rounds_done += 1
+            rnd = self.round
+            # first failure of a reload request: un-mark + re-push with
+            # reload cleared and a fresh seq
+            retry_pd["reload"] = False
+            retry_pd["seq"] = (rnd << _ROUND_SHIFT) + (
+                retry_pd["pull_rank"].astype("int64") * (1 << _RANK_SHIFT)
             )
+
+            self._ledger_append("seen", delta_pd[["url_hash"]], rnd)
+            self._seen_count += len(delta_pd)
+            if self._bloom is not None:
+                self._bloom.add_many(delta_pd["url_hash"].tolist())
+            _t_seen = _time.time()
+
             if record_order:
+                fetched_flag = parsed.select("url_hash").withColumn(
+                    "fetched", F.lit(True)
+                )
                 order_df = (
                     batch.join(fetched_flag, "url_hash", "left")
                     .select(
@@ -490,18 +490,19 @@ class FrontierEngine:
                 rnd,
             )
             # per-(task,host) lineage (north_rule: per-partition
-            # lineage + metrics): small aggregate collect
-            sched_pd = (
-                batch.groupBy("task", "host")
-                .agg(F.count("*").alias("scheduled"))
-                .toPandas()
+            # lineage + metrics), assembled driver-side from the two
+            # bounded collects — no extra Spark job
+            sched = pd.concat(
+                [delta_pd[["task", "host"]], failures_pd[["task", "host"]]]
+            )
+            lineage = (
+                sched.groupby(["task", "host"]).size().rename("scheduled").to_frame()
             )
             fail_counts = (
                 failures_pd.groupby(["task", "host"]).size().rename("failed")
                 if n_failed
                 else None
             )
-            lineage = sched_pd.set_index(["task", "host"])
             lineage["failed"] = fail_counts if fail_counts is not None else 0
             lineage["failed"] = lineage["failed"].fillna(0).astype("int64")
             lineage["fetched"] = lineage["scheduled"] - lineage["failed"]
@@ -517,7 +518,7 @@ class FrontierEngine:
             seen = self._read_seen_upto(None)
             _t_ledg = _time.time()
 
-            # --- next frontier: deferred ∪ children ∪ retries
+            # --- JOB 3: next frontier = deferred ∪ children ∪ retries
             children = self._children(parsed)
             deferred = eligible.join(
                 F.broadcast(batch.select("seq")), "seq", "left_anti"
@@ -543,8 +544,7 @@ class FrontierEngine:
                     "retries": int(len(retry_pd)),
                     "t_select": round(_t_select - _t0, 2),
                     "t_fetch_parse": round(_t_fetch - _t_select, 2),
-                    "t_failbook": round(_t_fail - _t_fetch, 2),
-                    "t_seen": round(_t_seen - _t_fail, 2),
+                    "t_seen": round(_t_seen - _t_fetch, 2),
                     "t_ledgers": round(_t_ledg - _t_seen, 2),
                     "t_frontier": round(_t_end - _t_ledg, 2),
                 }

@@ -108,6 +108,10 @@ class EngineConfig:
     hot_host_share: float = 0.10  # frontier share above which a host is salted
     max_salts: int = 8
     max_rounds: int = 1000
+    # batches up to this size get pull_rank from a single-partition
+    # window (bounded, simple); above it an exact range-partitioned
+    # two-pass rank keeps the sort distributed
+    rank_window_max: int = 1 << 18
     checkpoint_dir: str = ""  # empty = no checkpointing
     checkpoint_every: int = 8  # rounds between parquet snapshots
     # (localCheckpoint truncates lineage in between; smaller = finer

@@ -148,6 +148,7 @@ class FrontierEngine:
         self._prev_frontier_path: str | None = None
         self._snapshot_round = 0
         self._seen_count = 0
+        self._bloom_fed = False
         self._any_budget = any(t.budget_count > 0 for t in tasks)
         self._any_items = any(
             r.item_fields or r.match_regex for t in tasks for r in t.rules
@@ -199,6 +200,12 @@ class FrontierEngine:
                 rnd = int(os.path.basename(d).split("=")[1])
                 if rnd > upto_round:
                     shutil.rmtree(d, ignore_errors=True)
+
+    def _bloom_backfill(self) -> None:
+        for d in glob.glob(self._p("seen", "round=*")):
+            for f in glob.glob(os.path.join(d, "*.parquet")):
+                pdf = pd.read_parquet(f, columns=["url_hash"])
+                self._bloom.add_many(pdf["url_hash"].tolist())
 
     # ---------------- seeds ----------------
     def seed_frontier(self) -> DataFrame:
@@ -284,6 +291,62 @@ class FrontierEngine:
         bsize = self.cfg.batch_size if self.cfg.batch_size > 0 else (1 << 30)
         # TakeOrderedAndProject: per-partition top-B + driver merge
         return candidates.select(_FRONTIER_COLS).orderBy(*order).limit(bsize)
+
+    def _with_pull_rank(self, batch: DataFrame) -> DataFrame:
+        """Dense 0-based pull_rank in pull order over the (bounded)
+        batch.
+
+        Small batches: one single-partition window (sort of ≤
+        rank_window_max rows). Large batches: exact two-pass rank —
+        range-partition by the pull-order key, count per partition,
+        then offset + local row index via mapInPandas. No
+        single-partition sort at any size.
+        """
+        order = self._pull_order()
+        if self.cfg.batch_size <= self.cfg.rank_window_max:
+            w = Window.orderBy(*order)
+            return batch.withColumn("pull_rank", F.row_number().over(w) - 1)
+        P = self.cfg.num_partitions
+        ranged = (
+            batch.withColumn(
+                "_pclass", F.when(F.col("priority") > 0, 0).otherwise(1)
+            )
+            .repartitionByRange(P, F.col("_pclass"), F.col("seq"))
+            .sortWithinPartitions("_pclass", "seq")
+            .persist()
+        )
+        counts = {
+            r["pid"]: r["count"]
+            for r in ranged.groupBy(F.spark_partition_id().alias("pid"))
+            .count()
+            .collect()
+        }
+        offsets = {}
+        acc = 0
+        for pid in range(P):
+            offsets[pid] = acc
+            acc += counts.get(pid, 0)
+        bc = self.spark.sparkContext.broadcast(offsets)
+        out_schema = StructType(
+            list(FRONTIER_SCHEMA.fields) + [StructField("pull_rank", LongType())]
+        )
+
+        def assign(pdf_iter):
+            import pandas as _pd
+            from pyspark import TaskContext
+
+            pid = TaskContext.get().partitionId()
+            base = bc.value.get(pid, 0)
+            seen_rows = 0
+            for pdf in pdf_iter:
+                pdf = pdf.drop(columns=["_pclass"])
+                pdf["pull_rank"] = _pd.RangeIndex(
+                    base + seen_rows, base + seen_rows + len(pdf)
+                ).astype("int64")
+                seen_rows += len(pdf)
+                yield pdf
+
+        return ranged.mapInPandas(assign, out_schema)
 
     def _children(self, parsed: DataFrame):
         base = (self.round) << _ROUND_SHIFT
@@ -377,6 +440,7 @@ class FrontierEngine:
                         pdf = pd.read_parquet(f)
                         self._bloom.add_many(pdf["url_hash"].tolist())
                         self._seen_count += len(pdf)
+                self._bloom_fed = True
         else:
             if os.path.exists(self.workdir):
                 shutil.rmtree(self.workdir)
@@ -399,12 +463,7 @@ class FrontierEngine:
             # (≤ batch_size rows, so the single-partition sort is
             # bounded by config, not by data).
             eligible = self._eligible(frontier, seen).persist()
-            w_batch = Window.orderBy(*self._pull_order())
-            batch = (
-                self._select_batch(eligible)
-                .withColumn("pull_rank", F.row_number().over(w_batch) - 1)
-                .persist()
-            )
+            batch = self._with_pull_rank(self._select_batch(eligible)).persist()
 
             # --- simulated fetch: broadcast bounded batch into corpus
             probe = batch.withColumnRenamed("url", "req_url")
@@ -437,18 +496,15 @@ class FrontierEngine:
             hard_fail = failures_pd[~failures_pd["reload"]]
             retry_hashes = list(retry_pd["url_hash"])
 
-            # --- JOB 2: seen delta (batch hashes minus same-round
-            # reload un-marks, schedule.go:350-364). B-bounded collect:
-            # it doubles as the batch count, the bloom feed, and the
-            # per-(task,host) lineage source — one job instead of three.
-            seen_delta = batch.select("url_hash", "task", "host")
-            if retry_hashes:
-                seen_delta = seen_delta.filter(
-                    ~F.col("url_hash").isin(retry_hashes)
-                )
-            delta_pd = seen_delta.toPandas()
+            # --- JOB 2: per-(task,host) scheduled counts — doubles as
+            # the batch count (termination) and the lineage source
+            sched_pd = (
+                batch.groupBy("task", "host")
+                .agg(F.count("*").alias("scheduled"))
+                .toPandas()
+            )
             _t_fetch = _time.time()
-            n_batch = len(delta_pd) + len(retry_hashes)
+            n_batch = int(sched_pd["scheduled"].sum()) if len(sched_pd) else 0
             if n_batch == 0:
                 eligible.unpersist()
                 batch.unpersist()
@@ -464,10 +520,31 @@ class FrontierEngine:
                 retry_pd["pull_rank"].astype("int64") * (1 << _RANK_SHIFT)
             )
 
-            self._ledger_append("seen", delta_pd[["url_hash"]], rnd)
-            self._seen_count += len(delta_pd)
-            if self._bloom is not None:
+            # --- seen delta: batch hashes minus same-round reload
+            # un-marks (schedule.go:350-364). Hashes come to the driver
+            # only when the bloom actually needs them; otherwise the
+            # delta is a distributed parquet append.
+            seen_delta = batch.select("url_hash")
+            if retry_hashes:
+                seen_delta = seen_delta.filter(
+                    ~F.col("url_hash").isin(retry_hashes)
+                )
+            n_delta = n_batch - len(retry_hashes)
+            if self._bloom is not None and (
+                self._seen_count + n_delta >= self.cfg.bloom_min_seen
+            ):
+                if not self._bloom_fed:
+                    # first engagement: backfill every hash written in
+                    # earlier (Spark-written) rounds — the bloom must
+                    # never have a false negative
+                    self._bloom_backfill()
+                delta_pd = seen_delta.toPandas()
+                self._ledger_append("seen", delta_pd[["url_hash"]], rnd)
                 self._bloom.add_many(delta_pd["url_hash"].tolist())
+                self._bloom_fed = True
+            else:
+                self._ledger_write_df(seen_delta, "seen", rnd, n_files=1)
+            self._seen_count += n_delta
             _t_seen = _time.time()
 
             if record_order:
@@ -492,12 +569,7 @@ class FrontierEngine:
             # per-(task,host) lineage (north_rule: per-partition
             # lineage + metrics), assembled driver-side from the two
             # bounded collects — no extra Spark job
-            sched = pd.concat(
-                [delta_pd[["task", "host"]], failures_pd[["task", "host"]]]
-            )
-            lineage = (
-                sched.groupby(["task", "host"]).size().rename("scheduled").to_frame()
-            )
+            lineage = sched_pd.set_index(["task", "host"])
             fail_counts = (
                 failures_pd.groupby(["task", "host"]).size().rename("failed")
                 if n_failed

@@ -145,6 +145,21 @@ def test_bloom_forced_same_result(spark, small_pdf, workdir):
     assert_equivalent(eng, oracle)
 
 
+def test_distributed_rank_path_exact(spark, small_pdf, workdir):
+    """Force the range-partitioned two-pass pull_rank (the >256k-batch
+    path) — must be bit-identical with the window path / oracle."""
+    tasks = [generic_task(max_depth=3)]
+    corpus_df = spark.createDataFrame(small_pdf, CORPUS_SCHEMA)
+    cfg = EngineConfig(
+        batch_size=16, num_partitions=4, max_rounds=25, use_bloom=False,
+        rank_window_max=0,  # always take the distributed path
+    )
+    eng = FrontierEngine(spark, tasks, corpus_df, cfg, workdir=workdir)
+    eng.run(max_rounds=25)
+    oracle = run_oracle(tasks, small_pdf, batch_size=16, max_rounds=25)
+    assert_equivalent(eng, oracle)
+
+
 def test_budget_with_salting_exact(spark, small_pdf, workdir):
     """Skew salting (two-phase per-host top-k) must not change the
     selected set — exact oracle equivalence with budgets on."""

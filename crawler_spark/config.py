@@ -108,10 +108,16 @@ class EngineConfig:
     hot_host_share: float = 0.10  # frontier share above which a host is salted
     max_salts: int = 8
     max_rounds: int = 1000
-    # batches up to this size get pull_rank from a single-partition
-    # window (bounded, simple); above it an exact range-partitioned
-    # two-pass rank keeps the sort distributed
-    rank_window_max: int = 1 << 18
+    # batches up to this size get pull_rank from orderBy+limit + a
+    # single-partition window (fine for small rounds); above it the
+    # exact range-partitioned two-pass rank+filter runs instead —
+    # orderBy().limit(k) funnels P×k rows through one reduce task,
+    # which already costs seconds at k≈80k
+    rank_window_max: int = 1 << 14
+    # batches up to this size are broadcast into the corpus join; above
+    # it the probe goes through a shuffle join — a driver-built
+    # broadcast of ≳10^6 rows serializes >100 MB through one thread
+    fetch_broadcast_max: int = 1 << 18
     checkpoint_dir: str = ""  # empty = no checkpointing
     checkpoint_every: int = 8  # rounds between parquet snapshots
     # (localCheckpoint truncates lineage in between; smaller = finer

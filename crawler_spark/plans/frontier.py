@@ -473,9 +473,18 @@ class FrontierEngine:
             eligible = self._eligible(frontier, seen).persist()
             batch = self._with_pull_rank(self._select_batch(eligible)).persist()
 
-            # --- simulated fetch: broadcast bounded batch into corpus
+            # --- simulated fetch: join bounded batch into corpus —
+            # broadcast-hash while the batch is small (corpus never
+            # shuffles), shuffle join for huge batches (a >100 MB
+            # driver-built broadcast is itself a serial bottleneck; on
+            # a real cluster the bucketed corpus makes this join
+            # shuffle-free either way)
             probe = batch.withColumnRenamed("url", "req_url")
-            hits = self.corpus.join(F.broadcast(probe), "canon_url", "inner")
+            if self.cfg.batch_size and 0 < self.cfg.batch_size <= self.cfg.fetch_broadcast_max:
+                probe_side = F.broadcast(probe)
+            else:
+                probe_side = probe
+            hits = self.corpus.join(probe_side, "canon_url", "inner")
             parsed = hits.withColumn(
                 "parsed",
                 self._parse_udf(

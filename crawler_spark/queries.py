@@ -420,6 +420,73 @@ def q_json_props_sql():
 # ---------------------------------------------------------------------------
 
 
+def q_semi_join(spark, sf_dir):
+    """Left-semi join surface (the dual of the seen anti-join):
+    customers that do have orders, per segment."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return (
+        cust.join(orders, "c_custkey", "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("active_cnt"))
+    )
+
+
+def q_semi_join_sql():
+    return (
+        "SELECT c_mktsegment, count(*) AS active_cnt FROM customer"
+        " WHERE c_custkey IN (SELECT o_custkey FROM orders)"
+        " GROUP BY c_mktsegment"
+    )
+
+
+def q_clean_text(spark, sf_dir):
+    """Normalization scalar surface: lower + collapse whitespace +
+    strip non-alnum, keyed by md5 for verification."""
+    norm = F.regexp_replace(
+        F.regexp_replace(F.lower(F.trim(F.col("text"))), "[^a-z0-9 ]", ""),
+        " +",
+        " ",
+    )
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", F.md5(norm).alias("norm_hash")
+    )
+
+
+def q_clean_text_sql():
+    return (
+        "SELECT doc_id, md5(regexp_replace(regexp_replace("
+        "lower(trim(text)), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))"
+        " AS norm_hash FROM documents"
+    )
+
+
+def q_minhash_signature(spark, sf_dir):
+    """The raw MinHash signature table (k=8 md5 minima per doc)."""
+    return D.minhash_signature(_t(spark, sf_dir, "documents"), k=8)
+
+
+def q_minhash_signature_sql():
+    mh = ", ".join(
+        f"min(md5('{i}' || '|' || shingle)) AS mh{i}" for i in range(8)
+    )
+    return f"""
+    WITH t AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               generate_series(1, greatest(len(regexp_extract_all(lower(text), '[a-z0-9]+')) - 2, 0)),
+               i -> array_to_string(regexp_extract_all(lower(text), '[a-z0-9]+')[i:i+2], ' ')
+             )) AS shingles
+      FROM documents
+    ), ex AS (
+      SELECT doc_id, unnest(shingles) AS shingle FROM t
+    )
+    SELECT doc_id, {mh} FROM ex GROUP BY doc_id
+    """
+
+
 def q_dedup_exact(spark, sf_dir):
     return D.exact_dedup(_t(spark, sf_dir, "documents"))
 
@@ -717,6 +784,9 @@ QUERIES = {
     "event_windows": q_event_windows,
     "running_state": q_running_state,
     "json_props": q_json_props,
+    "semi_join": q_semi_join,
+    "clean_text": q_clean_text,
+    "minhash_signature": q_minhash_signature,
     "dedup_exact": q_dedup_exact,
     "ngram_jaccard": q_ngram_jaccard,
     "ngram_jaccard_lsh": q_ngram_jaccard_lsh,
@@ -750,6 +820,9 @@ ORACLES = {
     "event_windows": q_event_windows_sql(),
     "running_state": q_running_state_sql(),
     "json_props": q_json_props_sql(),
+    "semi_join": q_semi_join_sql(),
+    "clean_text": q_clean_text_sql(),
+    "minhash_signature": q_minhash_signature_sql(),
     "dedup_exact": q_dedup_exact_sql(),
     "ngram_jaccard": q_ngram_jaccard_sql(),
     "ngram_jaccard_lsh": q_ngram_jaccard_lsh_sql(),

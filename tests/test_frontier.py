@@ -182,6 +182,21 @@ def test_budget_with_salting_exact(spark, small_pdf, workdir):
     assert (lin["scheduled"] == lin["fetched"] + lin["failed"]).all()
 
 
+def test_cross_task_global_seen(spark, small_pdf, workdir):
+    """The URL-seen set is global across tasks (Crawler.Visited,
+    engine/schedule.go:126): two tasks crawling overlapping URLs must
+    dedup against each other, first puller wins."""
+    t1 = generic_task(max_depth=2)
+    t2 = type(t1)(**{**t1.__dict__, "name": "generic_crawl_b"})
+    tasks = [t1, t2]
+    eng = run_engine(spark, tasks, small_pdf, workdir, batch_size=8, max_rounds=20)
+    oracle = run_oracle(tasks, small_pdf, batch_size=8, max_rounds=20)
+    assert_equivalent(eng, oracle)
+    # the two tasks share seeds → every url fetched exactly once
+    order = [r.url_hash for r in eng.read_order().collect()]
+    assert len(order) == len(set(order))
+
+
 def test_reload_retry_failure_path(spark, workdir):
     """Reload=true request whose fetch fails is retried once then
     recorded as failure (engine/schedule.go:350-364): group topic

@@ -119,9 +119,10 @@ class EngineConfig:
     # broadcast of ≳10^6 rows serializes >100 MB through one thread
     fetch_broadcast_max: int = 1 << 18
     checkpoint_dir: str = ""  # empty = no checkpointing
-    checkpoint_every: int = 8  # rounds between parquet snapshots
-    # (localCheckpoint truncates lineage in between; smaller = finer
-    # resume granularity, more IO)
+    checkpoint_every: int = 8  # rounds between *durable* snapshots
+    # (every round writes a parquet snapshot for lineage truncation;
+    # only grid rounds are kept for resume — smaller = finer resume
+    # granularity, more retained IO)
     use_bloom: bool = True
     # engage the bloom prefilter only once the seen set is at least
     # this large — below it a broadcast JVM anti-join beats the

@@ -34,15 +34,30 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 TOKENS_EXPR = "regexp_extract_all(lower(text), '[a-z0-9]+', 0)"
-# 3-gram word shingles, distinct, space-joined
-SHINGLES_EXPR = (
-    "array_distinct(transform(sequence(1, greatest(size({t}) - 2, 0)),"
+# 3-gram word shingles, distinct, space-joined. Short docs MUST
+# short-circuit: Spark's sequence(1, 0) is the DESCENDING [1, 0]
+# (unlike DuckDB's empty generate_series(1, 0)), so without the guard
+# a doc with < 3 tokens evaluates slice(tokens, 0, 3) and throws
+# INVALID_PARAMETER_VALUE.START. With the guard both engines agree on
+# an empty shingle list (null text → null tokens → size -1 → empty).
+_SHINGLES_FROM = (
+    "case when size({t}) >= 3 then"
+    " array_distinct(transform(sequence(1, size({t}) - 2),"
     " i -> concat_ws(' ', slice({t}, i, 3))))"
-).format(t=TOKENS_EXPR)
+    " else cast(array() as array<string>) end"
+)
+SHINGLES_EXPR = _SHINGLES_FROM.format(t=TOKENS_EXPR)
 
 
 def with_shingles(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    return docs.select(id_col, F.expr(SHINGLES_EXPR).alias("shingles"))
+    """(id, shingles) with the regexp tokenize projected ONCE per row —
+    the tokenizer is the dominant scalar cost, and Catalyst does not CSE
+    the three references to the token array inside the shingle
+    expression, so tokens get their own projection."""
+    toks = docs.select(id_col, F.expr(TOKENS_EXPR).alias("_toks"))
+    return toks.select(
+        id_col, F.expr(_SHINGLES_FROM.format(t="_toks")).alias("shingles")
+    )
 
 
 def exact_dedup(docs: DataFrame) -> DataFrame:
@@ -61,7 +76,7 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
     the shingle key, so common shingles dominate cost — at scale run
     minhash_lsh_pairs first and verify only candidates.
     """
-    sh = with_shingles(docs)
+    sh = with_shingles(docs).persist()  # read twice: sizes + explode
     sizes = sh.select("doc_id", F.size("shingles").alias("n_shingles"))
     ex = sh.select("doc_id", F.explode("shingles").alias("shingle"))
     a = ex.alias("a")
@@ -90,13 +105,18 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
     )
 
 
-def minhash_signature(docs: DataFrame, k: int = 8) -> DataFrame:
+def minhash_signature(
+    docs: DataFrame, k: int = 8, shingles: DataFrame | None = None
+) -> DataFrame:
     """k MinHash values per doc: min over shingles of md5(i || shingle).
 
     Lexicographic min of the md5 hex string == numeric min of the
-    128-bit hash; identical in any SQL engine.
+    128-bit hash; identical in any SQL engine. Pass a precomputed
+    ``shingles`` relation to avoid re-tokenizing (lsh_jaccard_pairs
+    persists one shingle relation and feeds every stage from it).
     """
-    ex = with_shingles(docs).select("doc_id", F.explode("shingles").alias("shingle"))
+    sh = shingles if shingles is not None else with_shingles(docs)
+    ex = sh.select("doc_id", F.explode("shingles").alias("shingle"))
     aggs = [
         F.min(F.md5(F.concat(F.lit(str(i)), F.lit("|"), F.col("shingle")))).alias(
             f"mh{i}"
@@ -107,7 +127,8 @@ def minhash_signature(docs: DataFrame, k: int = 8) -> DataFrame:
 
 
 def minhash_lsh_pairs(
-    docs: DataFrame, k: int = 8, bands: int = 4
+    docs: DataFrame, k: int = 8, bands: int = 4,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """LSH candidate pairs: docs sharing any band of k/bands minhashes.
 
@@ -116,7 +137,7 @@ def minhash_lsh_pairs(
     are generated only inside equal buckets, never all-pairs.
     """
     rows_per_band = k // bands
-    sig = minhash_signature(docs, k)
+    sig = minhash_signature(docs, k, shingles=shingles)
     band_cols = []
     for bidx in range(bands):
         cols = [f"mh{bidx * rows_per_band + j}" for j in range(rows_per_band)]
@@ -126,9 +147,17 @@ def minhash_lsh_pairs(
                 F.md5(F.concat_ws("|", *cols)).alias("band_key"),
             )
         )
-    banded = sig.select(
-        "doc_id", F.explode(F.array(*band_cols)).alias("band")
-    ).select("doc_id", "band.band_id", "band.band_key")
+    # persisted: the bucket self-join reads `banded` twice, and without
+    # the persist each side re-runs tokenize → shingle → 8×md5 minhash
+    # over the full corpus (Catalyst does not always reuse the exchange
+    # across the join's two branches under AQE). The banded relation is
+    # 3 small columns/doc — at 100 TB this is the materialized stage
+    # between the signature pass and the bucket join.
+    banded = (
+        sig.select("doc_id", F.explode(F.array(*band_cols)).alias("band"))
+        .select("doc_id", "band.band_id", "band.band_key")
+        .persist()
+    )
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -156,9 +185,15 @@ def lsh_jaccard_pairs(
     pass → band bucket join → exact array_intersect on the (small)
     candidate set. Same hash family as minhash_lsh_pairs, so the
     DuckDB oracle reproduces it bit-for-bit.
+
+    ONE shingle relation, persisted, feeds all three stages (signature,
+    verify-left, verify-right) — tokenize+shingle is the dominant
+    scalar cost and must run once over the corpus, not three times. At
+    100 TB the persist becomes a materialized parquet stage between the
+    tokenize pass and the joins; the dataflow is identical.
     """
-    cand = minhash_lsh_pairs(docs, k=k, bands=bands)
-    sh = with_shingles(docs)
+    sh = with_shingles(docs).persist()
+    cand = minhash_lsh_pairs(docs, k=k, bands=bands, shingles=sh)
     sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
     sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
     return (
@@ -178,16 +213,18 @@ def lsh_jaccard_pairs(
     )
 
 
-def _simhash_bit_exprs(nbits: int = 32):
+def _simhash_bit_exprs(nbits: int = 32, hash_col: str = "h"):
     """SQL expressions (dialect-neutral) for SimHash bit votes.
 
     Bit j of token t = bit (3 - j%4) of hex digit j//4 of md5(t),
     extracted with instr/substr arithmetic that Spark SQL and DuckDB
-    evaluate identically.
+    evaluate identically. ``hash_col`` must hold md5(tok), projected
+    ONCE upstream — Catalyst does not CSE across independent aggregate
+    expressions, so inlining md5 here would hash every token 32×.
     """
     exprs = []
     for j in range(nbits):
-        digit = f"(instr('0123456789abcdef', substr(md5(tok), {j // 4 + 1}, 1)) - 1)"
+        digit = f"(instr('0123456789abcdef', substr({hash_col}, {j // 4 + 1}, 1)) - 1)"
         bit = f"(cast(floor({digit} / {2 ** (3 - j % 4)}) as int) % 2)"
         exprs.append(f"sum(case when {bit} = 1 then 1 else -1 end)")
     return exprs
@@ -197,7 +234,7 @@ def simhash(docs: DataFrame, nbits: int = 32) -> DataFrame:
     """32-bit SimHash per doc (bit j set iff the token-vote sum > 0)."""
     ex = docs.select(
         "doc_id", F.explode(F.expr(TOKENS_EXPR)).alias("tok")
-    )
+    ).select("doc_id", F.md5("tok").alias("h"))
     votes = ex.groupBy("doc_id").agg(
         *[F.expr(e).alias(f"v{j}") for j, e in enumerate(_simhash_bit_exprs(nbits))]
     )
@@ -208,7 +245,8 @@ def simhash(docs: DataFrame, nbits: int = 32) -> DataFrame:
 
 
 def simhash_sql(table: str = "documents", nbits: int = 32) -> str:
-    """DuckDB/ANSI twin of ``simhash`` (same bit math, same hashing)."""
+    """DuckDB/ANSI twin of ``simhash`` (same bit math, same hashing;
+    md5 projected once in the hashed CTE, mirroring the Spark plan)."""
     votes = ",\n      ".join(
         f"{e} AS v{j}" for j, e in enumerate(_simhash_bit_exprs(nbits))
     )
@@ -220,8 +258,10 @@ def simhash_sql(table: str = "documents", nbits: int = 32) -> str:
     WITH toks AS (
       SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
       FROM {table}
+    ), hashed AS (
+      SELECT doc_id, md5(tok) AS h FROM toks
     ), votes AS (
-      SELECT doc_id, {votes} FROM toks GROUP BY doc_id
+      SELECT doc_id, {votes} FROM hashed GROUP BY doc_id
     )
     SELECT doc_id, {bits} AS simhash FROM votes
     """

@@ -15,10 +15,21 @@ from pyspark.sql import functions as F
 
 
 def path_of(url_col):
-    """Path component (incl. query) of a canonical URL column."""
-    rest = F.substring_index(url_col, "://", -1)
+    """Path component (incl. query) of a canonical URL column.
+
+    Splits on the FIRST '://' like the executable spec
+    (plans/oracle.py:_path_of splits once) — substring_index(…, -1)
+    splits on the LAST occurrence, so a URL embedding another URL in
+    its query (…/r?u=http://b.com/x) would yield the wrong path and
+    flip robots decisions."""
+    pos = F.locate("://", url_col)
+    rest = F.when(
+        pos > 0, F.substring(url_col, pos + F.lit(3), F.lit(1 << 30))
+    ).otherwise(url_col)
     slash = F.instr(rest, "/")
-    return F.when(slash > 0, F.substring(rest, slash, 1 << 20)).otherwise(F.lit("/"))
+    return F.when(slash > 0, F.substring(rest, slash, F.lit(1 << 30))).otherwise(
+        F.lit("/")
+    )
 
 
 def filter_robots_allowed(

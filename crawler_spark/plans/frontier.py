@@ -50,9 +50,10 @@ stays distributed:
 - hot hosts cannot serialize a reducer: the per-(task,host) budget
   window bounds any host's batch share, and the frontier itself is
   hash-partitioned by url_hash (uniform) not by host;
-- frontier_{t+1} is localCheckpoint'ed each round (lineage
-  truncation) and snapshotted to parquet every ``checkpoint_every``
-  rounds for exact resume.
+- frontier_{t+1} is materialized to a parquet snapshot each round
+  (lineage truncation + bounded executor memory; non-durable snapshots
+  are deleted as soon as the next round lands) and the snapshots on
+  the ``checkpoint_every`` grid are kept durable for exact resume.
 """
 
 from __future__ import annotations
@@ -448,7 +449,11 @@ class FrontierEngine:
                         pdf = pd.read_parquet(f)
                         self._bloom.add_many(pdf["url_hash"].tolist())
                         self._seen_count += len(pdf)
-                self._bloom_fed = True
+                # fed ≠ engaged: below the threshold, subsequent rounds
+                # write seen deltas via the Spark path without feeding
+                # the bloom, so first engagement must still backfill —
+                # only mark fed when the filter is actually engaged now
+                self._bloom_fed = self._seen_count >= cfg.bloom_min_seen
         else:
             if os.path.exists(self.workdir):
                 shutil.rmtree(self.workdir)
@@ -543,8 +548,14 @@ class FrontierEngine:
             # delta is a distributed parquet append.
             seen_delta = batch.select("url_hash")
             if retry_hashes:
-                seen_delta = seen_delta.filter(
-                    ~F.col("url_hash").isin(retry_hashes)
+                # left-anti against the (tiny, driver-resident) retry
+                # frame instead of an isin literal — a million-row
+                # batch would otherwise inline megabytes into the plan
+                retry_h = self.spark.createDataFrame(
+                    [(h,) for h in retry_hashes], "url_hash string"
+                )
+                seen_delta = seen_delta.join(
+                    F.broadcast(retry_h), "url_hash", "left_anti"
                 )
             n_delta = n_batch - len(retry_hashes)
             if self._bloom is not None and (

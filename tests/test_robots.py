@@ -7,6 +7,33 @@ from crawler_spark.plans.oracle import GoOracle, robots_allowed
 from crawler_spark.sources.corpus import CORPUS_SCHEMA, build_corpus_pdf, generic_task
 
 
+def test_path_of_matches_oracle(spark):
+    """Engine path extraction must split on the FIRST '://' exactly
+    like oracle._path_of — URLs embedding URLs in the query were
+    mis-split by substring_index(…, -1) (ADVICE r1)."""
+    from pyspark.sql import functions as F
+
+    from crawler_spark.operators.robots import path_of
+    from crawler_spark.plans.oracle import _path_of
+
+    urls = [
+        "https://a.com/r?u=http://b.com/x",
+        "https://a.com/r?u=https://b.com",
+        "https://a.com",
+        "https://a.com/",
+        "http://a.com/p/q?x=1",
+        "noscheme.example/path",
+        "noscheme.example",
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    got = {
+        r.url: r.p
+        for r in df.select("url", path_of(F.col("url")).alias("p")).collect()
+    }
+    for u in urls:
+        assert got[u] == _path_of(u), f"{u}: {got[u]} != {_path_of(u)}"
+
+
 def test_longest_prefix_wins():
     rules = [
         ("h.com", "/", False),

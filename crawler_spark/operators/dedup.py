@@ -33,6 +33,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from crawler_spark.operators.util import spread
+
 TOKENS_EXPR = "regexp_extract_all(lower(text), '[a-z0-9]+', 0)"
 # 3-gram word shingles, distinct, space-joined. Short docs MUST
 # short-circuit: Spark's sequence(1, 0) is the DESCENDING [1, 0]
@@ -49,21 +51,29 @@ _SHINGLES_FROM = (
 SHINGLES_EXPR = _SHINGLES_FROM.format(t=TOKENS_EXPR)
 
 
-def with_shingles(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """(id, shingles) with the regexp tokenize projected ONCE per row —
-    the tokenizer is the dominant scalar cost, and Catalyst does not CSE
-    the three references to the token array inside the shingle
-    expression, so tokens get their own projection."""
-    toks = docs.select(id_col, F.expr(TOKENS_EXPR).alias("_toks"))
-    return toks.select(
-        id_col, F.expr(_SHINGLES_FROM.format(t="_toks")).alias("shingles")
+def with_shingles(
+    docs: DataFrame, id_col: str = "doc_id", materialize: bool = True
+) -> DataFrame:
+    """(id, shingles), persisted by default.
+
+    The materialization barrier is load-bearing, not a cache nicety:
+    when the shingle expression stays fused into a downstream
+    explode/Generate, Spark re-evaluates the tokenize+shingle lambda
+    pathologically (measured 7× slower end-to-end at sf0.1), and every
+    dedup consumer explodes or double-joins this relation. At 100 TB
+    this persist is the pipeline's materialized tokenize stage (a
+    parquet intermediate); the dataflow is identical.
+    """
+    sh = spread(docs, id_col).select(
+        id_col, F.expr(SHINGLES_EXPR).alias("shingles")
     )
+    return sh.persist() if materialize else sh
 
 
 def exact_dedup(docs: DataFrame) -> DataFrame:
     """Exact dedup: content hash → first (min doc_id) survivor."""
     return (
-        docs.groupBy(F.md5(F.col("text")).alias("text_hash"))
+        spread(docs).groupBy(F.md5(F.col("text")).alias("text_hash"))
         .agg(F.min("doc_id").alias("keep_doc_id"), F.count("*").alias("n_dups"))
     )
 
@@ -76,7 +86,7 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
     the shingle key, so common shingles dominate cost — at scale run
     minhash_lsh_pairs first and verify only candidates.
     """
-    sh = with_shingles(docs).persist()  # read twice: sizes + explode
+    sh = with_shingles(docs)  # persisted; read twice: sizes + explode
     sizes = sh.select("doc_id", F.size("shingles").alias("n_shingles"))
     ex = sh.select("doc_id", F.explode("shingles").alias("shingle"))
     a = ex.alias("a")
@@ -192,7 +202,7 @@ def lsh_jaccard_pairs(
     100 TB the persist becomes a materialized parquet stage between the
     tokenize pass and the joins; the dataflow is identical.
     """
-    sh = with_shingles(docs).persist()
+    sh = with_shingles(docs)  # persisted; feeds all three stages
     cand = minhash_lsh_pairs(docs, k=k, bands=bands, shingles=sh)
     sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
     sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
@@ -232,7 +242,7 @@ def _simhash_bit_exprs(nbits: int = 32, hash_col: str = "h"):
 
 def simhash(docs: DataFrame, nbits: int = 32) -> DataFrame:
     """32-bit SimHash per doc (bit j set iff the token-vote sum > 0)."""
-    ex = docs.select(
+    ex = spread(docs).select(
         "doc_id", F.explode(F.expr(TOKENS_EXPR)).alias("tok")
     ).select("doc_id", F.md5("tok").alias("h"))
     votes = ex.groupBy("doc_id").agg(

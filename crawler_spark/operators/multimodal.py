@@ -18,6 +18,8 @@ from collections.abc import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from crawler_spark.operators.util import spread
 from pyspark.sql.types import (
     BinaryType,
     IntegerType,
@@ -53,7 +55,7 @@ FEATURE_SCHEMA = StructType(
 def attach_fake_payload(docs: DataFrame, kind: str = "image") -> DataFrame:
     """Derive a deterministic binary payload column from text docs —
     stands in for WARC media records in this sandbox."""
-    return docs.select(
+    return spread(docs).select(
         F.col("doc_id").alias("media_id"),
         F.lit(kind).alias("kind"),
         F.encode("text", "utf-8").alias("payload"),

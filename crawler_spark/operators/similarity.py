@@ -21,6 +21,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from crawler_spark.operators.util import spread
+
 DOT_EXPR = (
     "aggregate(zip_with({a}, {b}, (x, y) -> cast(x as double) * cast(y as double)),"
     " cast(0 as double), (acc, v) -> acc + v)"
@@ -45,7 +47,9 @@ def brute_force_topk(
     q = emb.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
     )
-    c = emb.select(F.col("vec_id").alias("cand_id"), F.col("embedding").alias("cv"))
+    c = spread(emb, "vec_id").select(
+        F.col("vec_id").alias("cand_id"), F.col("embedding").alias("cv")
+    )
     scored = (
         c.join(F.broadcast(q), F.col("cand_id") != F.col("query_id"))
         .withColumn("score", F.round(cosine_col("qv", "cv"), 6))
@@ -70,7 +74,7 @@ def ivf_topk(
         F.col("embedding").alias("qv"),
         F.col(cell_col).alias("qcell"),
     )
-    c = emb.select(
+    c = spread(emb, "vec_id").select(
         F.col("vec_id").alias("cand_id"),
         F.col("embedding").alias("cv"),
         F.col(cell_col).alias("ccell"),
@@ -113,7 +117,7 @@ def lsh_signature(emb: DataFrame, n_planes: int = 8) -> DataFrame:
             " cast(0 as double), (a, v) -> a + v)"
         )
         acc = acc + F.when(dot > 0, F.lit(1 << p)).otherwise(0)
-    return emb.select("vec_id", "embedding", acc.alias("bucket"))
+    return spread(emb, "vec_id").select("vec_id", "embedding", acc.alias("bucket"))
 
 
 def lsh_bucket_topk(emb: DataFrame, n_queries: int = 5, k: int = 3, n_planes: int = 8) -> DataFrame:

@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from crawler_spark.operators.dedup import TOKENS_EXPR
+from crawler_spark.operators.util import spread
 
 EN_STOPWORDS = (
     "the,a,an,of,and,or,to,in,is,are,was,were,be,been,that,this,with,for,"
@@ -34,7 +35,7 @@ def language_id(docs: DataFrame, threshold: float = 0.05) -> DataFrame:
         f"cast(size(array_intersect({TOKENS_EXPR}, {stop_arr})) as double)"
         f" / greatest(size(array_distinct({TOKENS_EXPR})), 1)"
     )
-    return docs.select(
+    return spread(docs).select(
         "doc_id",
         "lang",
         F.round(ratio, 4).alias("en_ratio"),
@@ -58,7 +59,7 @@ def quality_score(docs: DataFrame) -> DataFrame:
     )
     len_score = F.least(n_chars / F.lit(500.0), F.lit(1.0))
     word_score = F.when((mean_word >= 3) & (mean_word <= 10), 1.0).otherwise(0.5)
-    return docs.select(
+    return spread(docs).select(
         "doc_id",
         F.round(len_score * word_score * alpha_ratio, 4).alias("quality"),
         F.round(mean_word, 4).alias("mean_word_len"),
@@ -74,7 +75,7 @@ def token_count(docs: DataFrame) -> DataFrame:
         f"aggregate({TOKENS_EXPR}, cast(0 as bigint),"
         " (a, t) -> a + cast(ceil(length(t) / 4.0) as bigint))"
     )
-    return docs.select(
+    return spread(docs).select(
         "doc_id", n_tokens.alias("n_words"), subwords.alias("n_subword_est")
     )
 
@@ -87,4 +88,4 @@ def fingerprint(docs: DataFrame, gram: int = 8, prefix: int = 200) -> DataFrame:
         f"array_min(transform(sequence(1, greatest(length(substr(text, 1, {prefix})) - {gram - 1}, 1)),"
         f" i -> md5(substr(substr(text, 1, {prefix}), i, {gram}))))"
     )
-    return docs.select("doc_id", F.expr(expr).alias("fingerprint"))
+    return spread(docs).select("doc_id", F.expr(expr).alias("fingerprint"))

@@ -64,20 +64,60 @@ def brute_force_topk(
     )
 
 
+SQDIST_EXPR = (
+    "aggregate(zip_with({a}, {b},"
+    " (x, y) -> (cast(x as double) - cast(y as double))"
+    " * (cast(x as double) - cast(y as double))),"
+    " cast(0 as double), (acc, v) -> acc + v)"
+)
+
+
+def ivf_cells(emb: DataFrame, step: int = 127) -> DataFrame:
+    """Deterministic k-means-lite coarse quantizer: (vec_id, cell).
+
+    Centroids are a fixed deterministic sample (every ``step``-th
+    vec_id — data-independent, reproducible in any engine); assignment
+    is argmin squared distance, ties broken by centroid id. Distances
+    are sequential double folds over the dimension order and rounded
+    to 6 dp, so Spark and the DuckDB twin pick identical cells. The
+    centroid set is tiny → broadcast join; assignment is one map-side
+    pass over the corpus (the 100 TB path: no shuffle until the
+    per-cell probe join).
+    """
+    cent = emb.filter(F.pmod(F.col("vec_id"), F.lit(step)) == 0).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("centv")
+    )
+    dist = F.round(
+        F.expr(SQDIST_EXPR.format(a="embedding", b="centv")), 6
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("_dist").asc(), F.col("cid").asc())
+    return (
+        emb.select("vec_id", "embedding")
+        .join(F.broadcast(cent))
+        .withColumn("_dist", dist)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("vec_id", F.col("cid").alias("cell"))
+    )
+
+
 def ivf_topk(
-    emb: DataFrame, n_queries: int = 5, k: int = 3, cell_col: str = "label"
+    emb: DataFrame, n_queries: int = 5, k: int = 3, step: int = 127
 ) -> DataFrame:
     """IVF-style ANN: probe only the query's cell (candidate pruning
-    by equi-join on the cell id), exact cosine re-rank inside."""
+    by equi-join on the computed cell id), exact cosine re-rank
+    inside. Cells come from ``ivf_cells`` (k-means-lite quantizer)."""
+    cells = ivf_cells(emb, step=step)
+    emb = spread(emb, "vec_id").join(cells, "vec_id")
     q = emb.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qv"),
-        F.col(cell_col).alias("qcell"),
+        F.col("cell").alias("qcell"),
     )
-    c = spread(emb, "vec_id").select(
+    c = emb.select(
         F.col("vec_id").alias("cand_id"),
         F.col("embedding").alias("cv"),
-        F.col(cell_col).alias("ccell"),
+        F.col("cell").alias("ccell"),
     )
     scored = (
         c.join(
@@ -120,14 +160,36 @@ def lsh_signature(emb: DataFrame, n_planes: int = 8) -> DataFrame:
     return spread(emb, "vec_id").select("vec_id", "embedding", acc.alias("bucket"))
 
 
-def lsh_bucket_topk(emb: DataFrame, n_queries: int = 5, k: int = 3, n_planes: int = 8) -> DataFrame:
-    """LSH-bucketed ANN: candidates share the hyperplane-sign bucket."""
+def lsh_bucket_topk(
+    emb: DataFrame, n_queries: int = 5, k: int = 3, n_planes: int = 8,
+    multiprobe: bool = True,
+) -> DataFrame:
+    """LSH-bucketed ANN: candidates share the hyperplane-sign bucket.
+
+    With ``multiprobe`` the query also probes every 1-bit-flip
+    neighbor bucket (Hamming-1 multi-probe), which is what makes the
+    recall defensible: a near neighbor that lands just across one
+    hyperplane is still found. Implemented as an explode of the query
+    side into n_planes+1 probe keys so the corpus join stays a plain
+    equi-join (never a Hamming-distance theta-join); each candidate
+    has one bucket, so probes can't duplicate a (query, cand) pair.
+    """
     sig = lsh_signature(emb, n_planes)
-    q = sig.filter(F.col("vec_id") < n_queries).select(
+    q0 = sig.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qv"),
         F.col("bucket").alias("qb"),
     )
+    if multiprobe:
+        probes = F.array(
+            F.col("qb"),
+            *[F.col("qb").bitwiseXOR(F.lit(1 << p)) for p in range(n_planes)],
+        )
+        q = q0.select(
+            "query_id", "qv", F.explode(probes).alias("qb")
+        )
+    else:
+        q = q0
     c = sig.select(
         F.col("vec_id").alias("cand_id"),
         F.col("embedding").alias("cv"),

@@ -130,3 +130,12 @@ class EngineConfig:
     # lets definitely-new rows (the vast majority of a growing crawl)
     # skip the seen shuffle entirely
     bloom_min_seen: int = 1_000_000
+    # shard count for the executor-side bloom store: per-task memory is
+    # one shard (≈ total bits / P); raise with seen-set size so a shard
+    # stays comfortably inside an executor (10^10 URLs @ p=0.01 ≈ 12 GB
+    # of bits → P ≥ ~64 keeps shards ≤ ~200 MB)
+    bloom_shards: int = 32
+    # fold seen deltas into the shard store every k rounds; unfolded
+    # rounds (≤ k·batch_size rows) are covered by a broadcast anti-join
+    # until the next fold, so correctness never depends on fold timing
+    bloom_fold_every: int = 1

@@ -43,8 +43,10 @@ stays distributed:
   against the bounded batch (no corpus shuffle; on a real cluster the
   pages table is bucketed by ``canon_url`` making the probe
   partition-pruned);
-- the seen set is append-only parquet; membership = broadcast Bloom
-  prefilter (definitely-new rows skip the join entirely) + exact
+- the seen set is append-only parquet; membership = sharded
+  executor-side Bloom prefilter (cogroup of frontier and shard store
+  on the shard id — definitely-new rows skip the seen join entirely,
+  and no single process ever holds the whole filter) + exact
   left-anti join for maybe-seen rows only — no false drops, bloom
   false positives only cost the exact check;
 - hot hosts cannot serialize a reducer: the per-(task,host) budget
@@ -78,7 +80,7 @@ from pyspark.sql.types import (
 from crawler_spark.config import EngineConfig, TaskConfig
 from crawler_spark.functions.parse import make_parse_udf
 from crawler_spark.functions.urlnorm import canonicalize_udf, host_of_udf, url_hash_expr
-from crawler_spark.operators.bloom import BloomFilter, split_by_bloom
+from crawler_spark.operators.bloom import ShardedBloom
 from crawler_spark.operators.robots import filter_robots_allowed
 
 FRONTIER_SCHEMA = StructType(
@@ -128,7 +130,15 @@ class FrontierEngine:
         self.corpus = corpus.select("canon_url", "url", "warc_ts", "text")
         self.round = 0
         self.metrics: list[dict] = []
-        self._bloom: BloomFilter | None = None
+        self._sharded = (
+            ShardedBloom(
+                self.cfg.bloom_shards, self.cfg.bloom_capacity, self.cfg.bloom_fpp
+            )
+            if self.cfg.use_bloom
+            else None
+        )
+        self._bloom_path: str | None = None  # current shard-store parquet
+        self._folded_upto = 0  # last seen round folded into the store
         # rule names are per-task (RuleTree.Trunk per task); dispatch key
         # is "task\x00rule"
         self._flat_rules = {
@@ -149,7 +159,6 @@ class FrontierEngine:
         self._prev_frontier_path: str | None = None
         self._snapshot_round = 0
         self._seen_count = 0
-        self._bloom_fed = False
         self._ranged_cache: DataFrame | None = None
         self._any_budget = any(t.budget_count > 0 for t in tasks)
         self._any_items = any(
@@ -203,11 +212,28 @@ class FrontierEngine:
                 if rnd > upto_round:
                     shutil.rmtree(d, ignore_errors=True)
 
-    def _bloom_backfill(self) -> None:
-        for d in glob.glob(self._p("seen", "round=*")):
-            for f in glob.glob(os.path.join(d, "*.parquet")):
-                pdf = pd.read_parquet(f, columns=["url_hash"])
-                self._bloom.add_many(pdf["url_hash"].tolist())
+    def _fold_bloom(self, upto_round: int) -> None:
+        """Fold seen rounds (folded_upto, upto] into the shard store —
+        one distributed job (build or OR-merge), never a driver loop.
+        First call doubles as backfill (threshold crossing or resume)."""
+        seen_all = self._read_seen_upto(upto_round)
+        if seen_all is None:
+            return
+        if self._bloom_path is None:
+            old, delta = None, seen_all
+        else:
+            old = self.spark.read.parquet(self._bloom_path)
+            delta = seen_all.filter(F.col("round") > self._folded_upto)
+        shards = self._sharded.fold(old, delta)
+        path = self._p("bloom", f"round={upto_round}")
+        if path == self._bloom_path:
+            return
+        shards.coalesce(1).write.mode("overwrite").parquet(path)
+        old_path = self._bloom_path
+        self._bloom_path = path
+        self._folded_upto = upto_round
+        if old_path:
+            shutil.rmtree(old_path, ignore_errors=True)
 
     # ---------------- seeds ----------------
     def seed_frontier(self) -> DataFrame:
@@ -245,11 +271,28 @@ class FrontierEngine:
         if seen is not None:
             if (
                 self.cfg.use_bloom
-                and self._bloom is not None
+                and self._sharded is not None
                 and self._seen_count >= self.cfg.bloom_min_seen
             ):
-                maybe, new = split_by_bloom(e, "url_hash", self._bloom, self.spark)
+                # lazy first fold = distributed backfill (threshold
+                # crossing mid-run, or resume into an engaged filter)
+                if self._bloom_path is None:
+                    self._fold_bloom(self.round)
+                shards = self.spark.read.parquet(self._bloom_path)
+                tagged = self._sharded.check(e, "url_hash", shards)
+                maybe = tagged.filter(F.col("_maybe_seen")).drop("_maybe_seen")
+                new = tagged.filter(~F.col("_maybe_seen")).drop("_maybe_seen")
+                # maybe-seen rows take the exact anti-join (bloom false
+                # positives only cost this check); definitely-new rows
+                # still get an exact anti-join against the *unfolded*
+                # recent rounds (bounded by fold_every × batch) so the
+                # filter's coverage never lags the ledger
                 checked = maybe.join(seen.select("url_hash"), "url_hash", "left_anti")
+                if self._folded_upto < self.round:
+                    unfolded = seen.filter(
+                        F.col("round") > self._folded_upto
+                    ).select("url_hash")
+                    new = new.join(F.broadcast(unfolded), "url_hash", "left_anti")
                 e = new.unionByName(checked)
             else:
                 e = e.join(seen.select("url_hash"), "url_hash", "left_anti")
@@ -440,20 +483,11 @@ class FrontierEngine:
                 self._p("frontier", f"round={self.round}")
             )
             seen = self._read_seen_upto(self.round)
-            if cfg.use_bloom:
-                self._bloom = BloomFilter(cfg.bloom_capacity, cfg.bloom_fpp)
-                for d in glob.glob(self._p("seen", "round=*")):
-                    if int(os.path.basename(d).split("=")[1]) > self.round:
-                        continue
-                    for f in glob.glob(os.path.join(d, "*.parquet")):
-                        pdf = pd.read_parquet(f)
-                        self._bloom.add_many(pdf["url_hash"].tolist())
-                        self._seen_count += len(pdf)
-                # fed ≠ engaged: below the threshold, subsequent rounds
-                # write seen deltas via the Spark path without feeding
-                # the bloom, so first engagement must still backfill —
-                # only mark fed when the filter is actually engaged now
-                self._bloom_fed = self._seen_count >= cfg.bloom_min_seen
+            # stale shard stores from the interrupted run are rebuilt
+            # lazily (distributed) at first engaged _eligible — never a
+            # driver loop over seen hashes; only the count is needed
+            shutil.rmtree(self._p("bloom"), ignore_errors=True)
+            self._seen_count = seen.count() if seen is not None else 0
         else:
             if os.path.exists(self.workdir):
                 shutil.rmtree(self.workdir)
@@ -461,8 +495,6 @@ class FrontierEngine:
             frontier = self._materialize_frontier(self.seed_frontier(), 0)
             seen = None
             self.round = 0
-            if cfg.use_bloom:
-                self._bloom = BloomFilter(cfg.bloom_capacity, cfg.bloom_fpp)
 
         import time as _time
 
@@ -558,21 +590,17 @@ class FrontierEngine:
                     F.broadcast(retry_h), "url_hash", "left_anti"
                 )
             n_delta = n_batch - len(retry_hashes)
-            if self._bloom is not None and (
-                self._seen_count + n_delta >= self.cfg.bloom_min_seen
-            ):
-                if not self._bloom_fed:
-                    # first engagement: backfill every hash written in
-                    # earlier (Spark-written) rounds — the bloom must
-                    # never have a false negative
-                    self._bloom_backfill()
-                delta_pd = seen_delta.toPandas()
-                self._ledger_append("seen", delta_pd[["url_hash"]], rnd)
-                self._bloom.add_many(delta_pd["url_hash"].tolist())
-                self._bloom_fed = True
-            else:
-                self._ledger_write_df(seen_delta, "seen", rnd, n_files=1)
+            self._ledger_write_df(seen_delta, "seen", rnd, n_files=1)
             self._seen_count += n_delta
+            # fold the delta into the engaged shard store every
+            # fold_every rounds; in between, _eligible covers the
+            # unfolded rounds with an exact broadcast anti-join
+            if (
+                self._sharded is not None
+                and self._bloom_path is not None
+                and rnd - self._folded_upto >= self.cfg.bloom_fold_every
+            ):
+                self._fold_bloom(rnd)
             _t_seen = _time.time()
 
             if record_order:

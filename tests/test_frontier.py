@@ -145,6 +145,23 @@ def test_bloom_forced_same_result(spark, small_pdf, workdir):
     assert_equivalent(eng, oracle)
 
 
+def test_bloom_lazy_fold_same_result(spark, small_pdf, workdir):
+    """Sharded bloom with fold_every=3: rounds between folds rely on
+    the unfolded-delta broadcast anti-join — result must stay
+    bit-identical with the oracle regardless of fold timing."""
+    tasks = [generic_task(max_depth=3)]
+    corpus_df = spark.createDataFrame(small_pdf, CORPUS_SCHEMA)
+    cfg = EngineConfig(
+        batch_size=8, num_partitions=4, max_rounds=20, use_bloom=True,
+        bloom_capacity=1 << 14, bloom_min_seen=0, bloom_fold_every=3,
+        bloom_shards=4,
+    )
+    eng = FrontierEngine(spark, tasks, corpus_df, cfg, workdir=workdir)
+    eng.run(max_rounds=20)
+    oracle = run_oracle(tasks, small_pdf, batch_size=8, max_rounds=20)
+    assert_equivalent(eng, oracle)
+
+
 def test_distributed_rank_path_exact(spark, small_pdf, workdir):
     """Force the range-partitioned two-pass pull_rank (the >256k-batch
     path) — must be bit-identical with the window path / oracle."""

@@ -145,17 +145,8 @@ class FrontierEngine:
             f"{t.name}\x00{r.name}": r for t in tasks for r in t.rules
         }
         self._parse_udf = make_parse_udf(self._flat_rules)
-        self._tasks_dim = spark.createDataFrame(
-            pd.DataFrame(
-                {
-                    "task": [t.name for t in tasks],
-                    "max_depth": [t.max_depth for t in tasks],
-                    "host_budget": [
-                        t.host_budget_per_round(self.cfg.round_seconds) for t in tasks
-                    ],
-                }
-            )
-        )
+        self._tasks_dim = self._build_tasks_dim()
+        self._pending_seeds: list[tuple] = []
         self._prev_frontier_path: str | None = None
         self._snapshot_round = 0
         self._seen_count = 0
@@ -164,6 +155,72 @@ class FrontierEngine:
         self._any_items = any(
             r.item_fields or r.match_regex for t in tasks for r in t.rules
         )
+
+    def _build_tasks_dim(self) -> DataFrame:
+        tasks = list(self.tasks.values())
+        return self.spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "task": [t.name for t in tasks],
+                    "max_depth": [t.max_depth for t in tasks],
+                    "host_budget": [
+                        t.host_budget_per_round(self.cfg.round_seconds)
+                        for t in tasks
+                    ],
+                }
+            )
+        )
+
+    # ---------------- dynamic task submission ----------------
+    def add_task(self, task: TaskConfig) -> None:
+        """Dynamic task submission — the reference's AddResource RPC
+        (proto/crawler/crawler.proto:6-19 → master/master.go:188-201):
+        register a new crawl task while the engine is stopped between
+        rounds; its seeds enter the frontier on the next ``run``
+        continuation and are crawled from the following round.
+
+        Seed seqs are placed at the top of the current round's seq
+        band (round << 42 | (2^21-1) << 21 | j), i.e. after every
+        request emitted up to and including round ``self.round`` and
+        before anything round ``self.round + 1`` emits — exactly where
+        the Go engine's Push lands them relative to the single-worker
+        order (GoOracle ``add_tasks_after`` mirrors this).
+        """
+        if task.name in self.tasks:
+            raise ValueError(f"task {task.name!r} already registered")
+        self.tasks[task.name] = task
+        for r in task.rules:
+            self._flat_rules[f"{task.name}\x00{r.name}"] = r
+        self._parse_udf = make_parse_udf(self._flat_rules)
+        self._tasks_dim = self._build_tasks_dim()
+        self._any_budget = any(t.budget_count > 0 for t in self.tasks.values())
+        self._any_items = self._any_items or any(
+            r.item_fields or r.match_regex for r in task.rules
+        )
+        base = (self.round << _ROUND_SHIFT) + (
+            ((1 << _RANK_SHIFT) - 1) << _RANK_SHIFT
+        )
+        for j, (url, priority, rule) in enumerate(task.seeds):
+            self._pending_seeds.append(
+                (task.name, url, 0, priority, rule, task.reload, None, base + j)
+            )
+
+    def _merge_pending_seeds(self, frontier: DataFrame) -> DataFrame:
+        if not self._pending_seeds:
+            return frontier
+        seed_schema = (
+            "task string, url string, depth int, priority int, rule string,"
+            " reload boolean, temp string, seq long"
+        )
+        df = self.spark.createDataFrame(self._pending_seeds, seed_schema)
+        injected = (
+            df.withColumn("canon_url", canonicalize_udf(F.col("url")))
+            .withColumn("host", host_of_udf(F.col("url")))
+            .withColumn("url_hash", url_hash_expr(F.col("canon_url")))
+            .select(_FRONTIER_COLS)
+        )
+        self._pending_seeds = []
+        return frontier.unionByName(injected)
 
     # ---------------- state paths / driver-side ledgers ----------------
     def _p(self, *parts: str) -> str:
@@ -495,6 +552,8 @@ class FrontierEngine:
             frontier = self._materialize_frontier(self.seed_frontier(), 0)
             seen = None
             self.round = 0
+
+        frontier = self._merge_pending_seeds(frontier)
 
         import time as _time
 

@@ -98,6 +98,7 @@ class GoOracle:
         host_budget: int | None = None,  # per (task,host) per round; None=∞
         robots: list[tuple[str, str, bool]] | None = None,
         max_rounds: int = 10_000,
+        add_tasks_after: dict[int, list[TaskConfig]] | None = None,
     ):
         self.tasks = {t.name: t for t in tasks}
         self.corpus = corpus
@@ -105,6 +106,11 @@ class GoOracle:
         self.host_budget = host_budget if host_budget is not None else 1 << 30
         self.robots = robots
         self.max_rounds = max_rounds
+        # dynamic task submission (AddResource, master/master.go:188-201):
+        # after round k completes, the tasks in add_tasks_after[k] are
+        # registered and their seeds pushed (next seq values → they sort
+        # after everything emitted through round k)
+        self.add_tasks_after = add_tasks_after or {}
 
     def _mk_request(self, task, url, priority, rule, depth, reload, temp, seq):
         canon = canonicalize_url(url)
@@ -228,6 +234,15 @@ class GoOracle:
                         {"task": r.task, "rule": r.rule, "url": r.url, **it}
                     )
             frontier = keep + new_requests
+            for t in self.add_tasks_after.get(rounds, []):
+                self.tasks[t.name] = t
+                for url, priority, rule in t.seeds:
+                    frontier.append(
+                        self._mk_request(
+                            t.name, url, priority, rule, 0, t.reload, {}, seq
+                        )
+                    )
+                    seq += 1
         return OracleResult(
             crawl_order=crawl_order,
             seen=seen,

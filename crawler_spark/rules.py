@@ -65,9 +65,13 @@ RULE_BOOK_DETAIL = RuleSpec(
 BOOK_TASK = TaskConfig(
     name="douban_book_list",
     seeds=(("https://book.douban.com", 1, "数据tag"),),  # parsebook.go:15-25
-    max_depth=5,
-    budget_count=1,  # 1 req / 2 s dominates the 20/60 tier
-    budget_window_s=2,  # (config.toml:5; limiter.go:41-44)
+    max_depth=5,  # config.toml:5 MaxDepth
+    reload=True,  # config.toml:5 Reload = true
+    wait_time=2,  # config.toml:5 WaitTime = 2
+    # MultiLimiter waits on EVERY tier (limiter.go:22-27,41-44), so the
+    # slowest rate binds: 20/60 s (0.33 req/s) < 1/2 s (0.5 req/s)
+    budget_count=20,
+    budget_window_s=60,
     rules=(RULE_TAG, RULE_BOOK_LIST, RULE_BOOK_DETAIL),
 )
 

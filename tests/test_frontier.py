@@ -214,6 +214,30 @@ def test_cross_task_global_seen(spark, small_pdf, workdir):
     assert len(order) == len(set(order))
 
 
+def test_add_task_mid_run(spark, small_pdf, workdir):
+    """Dynamic task submission (AddResource, master/master.go:188-201):
+    a task added after round 3 crawls from round 4, and the combined
+    order/seen/items match an oracle run with the same injection
+    point."""
+    book = type(BOOK_TASK)(**{**BOOK_TASK.__dict__, "budget_count": 0})
+    tasks0 = [generic_task(max_depth=2)]
+    eng = run_engine(spark, tasks0, small_pdf, workdir, batch_size=8, max_rounds=3)
+    assert eng.round == 3
+    eng.add_task(book)
+    eng.run(max_rounds=30, resume=True)
+    oracle = GoOracle(
+        [generic_task(max_depth=2)],
+        corpus_dict(small_pdf),
+        batch_size=8,
+        max_rounds=40,
+        add_tasks_after={3: [book]},
+    ).run()
+    assert_equivalent(eng, oracle)
+    # the injected task actually crawled and produced items
+    assert any(o["url"].startswith("https://book.douban.com") for o in oracle.crawl_order)
+    assert any(it["task"] == book.name for it in oracle.items)
+
+
 def test_reload_retry_failure_path(spark, workdir):
     """Reload=true request whose fetch fails is retried once then
     recorded as failure (engine/schedule.go:350-364): group topic

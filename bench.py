@@ -31,23 +31,10 @@ from crawler_spark.queries import QUERIES  # noqa: E402
 from crawler_spark.session import get_spark  # noqa: E402
 from crawler_spark.sources.corpus import build_corpus_df, generic_task  # noqa: E402
 
-BENCH_QUERIES = [
-    "url_hash",
-    "seen_antijoin",
-    "dedup_first_wins",
-    "host_budget",
-    "fetch_join",
-    "agg_metrics",
-    "regex_link_extract",
-    "dedup_exact",
-    "ngram_jaccard_lsh",
-    "minhash_lsh",
-    "simhash",
-    "ann_brute_force",
-    "lang_id",
-    "quality",
-    "token_count",
-]
+# every contract query, in registry order — BENCH_r{N}.json must be a
+# key-superset of the previous round's file so per-query regressions
+# are visible round over round (VERDICT r1 #10)
+BENCH_QUERIES = list(QUERIES)
 
 
 def bench_frontier(spark, cpus: int, workdir: str) -> dict:

@@ -148,6 +148,7 @@ class FrontierEngine:
         self._tasks_dim = self._build_tasks_dim()
         self._pending_seeds: list[tuple] = []
         self._prev_frontier_path: str | None = None
+        self._frontier_cache: DataFrame | None = None
         self._snapshot_round = 0
         self._seen_count = 0
         self._ranged_cache: DataFrame | None = None
@@ -490,14 +491,22 @@ class FrontierEngine:
     def _materialize_frontier(
         self, df: DataFrame, round_no: int, force_snapshot: bool = False
     ) -> DataFrame:
-        """Materialize frontier_{t+1} as a parquet snapshot.
+        """Materialize frontier_{t+1}.
 
-        Parquet (not cache/localCheckpoint) on purpose: it truncates
-        lineage, bounds executor memory (localCheckpoint blocks are
-        never reclaimed from Python and degraded every subsequent job
-        ~30× in profiling), and doubles as the resume checkpoint.
-        Non-durable snapshots (rounds not on the checkpoint_every
-        grid) are deleted as soon as the next round lands.
+        Parquet snapshot by default (not localCheckpoint: its blocks
+        are never reclaimed from Python and degraded every subsequent
+        job ~30× in profiling): truncates lineage, bounds executor
+        memory, and doubles as the resume checkpoint. Non-durable
+        snapshots (rounds not on the checkpoint_every grid) are
+        deleted as soon as the next round lands.
+
+        ``frontier_cache_rounds > 0`` (throughput mode): between
+        parquet rounds the frontier is persisted + counted instead of
+        written — the count forces materialization so this round's
+        eligible/batch caches stay safe to release; the parquet
+        encode/IO and next-round decode are skipped entirely. The
+        previous round's cache is released only after the new one is
+        materialized (the new cache fill reads the old one).
         """
         cfg = self.cfg
         durable = force_snapshot or (
@@ -510,6 +519,21 @@ class FrontierEngine:
         # next round's shuffles, not file count. Map-side (canonicalize
         # UDF etc.) keeps full upstream parallelism.
         df = df.repartition(min(8, cfg.num_partitions), "url_hash")
+        cache_ok = (
+            not durable
+            and cfg.frontier_cache_rounds > 0
+            and round_no % cfg.frontier_cache_rounds != 0
+        )
+        if cache_ok:
+            new = df.persist()
+            new.count()  # materialize BEFORE releasing upstream caches
+            if self._frontier_cache is not None:
+                self._frontier_cache.unpersist()
+            if self._prev_frontier_path:
+                shutil.rmtree(self._prev_frontier_path, ignore_errors=True)
+                self._prev_frontier_path = None
+            self._frontier_cache = new
+            return new
         path = self._p("frontier", f"round={round_no}")
         df.write.mode("overwrite").parquet(path)
         out = self.spark.read.schema(FRONTIER_SCHEMA).parquet(path)
@@ -519,6 +543,10 @@ class FrontierEngine:
             shutil.rmtree(self._prev_frontier_path, ignore_errors=True)
         # keep non-durable snapshots only until the next round lands
         self._prev_frontier_path = None if durable else path
+        if self._frontier_cache is not None:
+            # the parquet write consumed the cached frontier — release
+            self._frontier_cache.unpersist()
+            self._frontier_cache = None
         return out
 
     # ---------------- main loop ----------------
@@ -591,31 +619,54 @@ class FrontierEngine:
                 ),
             ).persist()
 
-            # --- JOB 1: failures — the only per-request rows the
-            # driver must see (bounded by batch, normally tiny);
-            # materializes the batch + parsed caches as a side effect
-            failures_pd = (
-                probe.join(parsed.select("url_hash"), "url_hash", "left_anti")
-                .select(
-                    "task", F.col("req_url").alias("url"), "canon_url",
-                    "url_hash", "host", "depth", "priority", "rule", "reload",
-                    "temp", "seq", "pull_rank",
+            # --- the ONE per-round collect: per-(task,host) scheduled
+            # counts (termination + lineage) with the failure rows —
+            # the only per-request rows the driver must see, bounded by
+            # batch — folded into the same aggregation (collect_list
+            # skips the nulls of fetched rows). One Spark job where
+            # round 1 had two, cutting the serial per-round floor;
+            # materializes the batch + parsed caches as a side effect.
+            fail_struct = F.when(
+                F.col("_fetched").isNull(),
+                F.struct(
+                    "url", "canon_url", "url_hash", "depth", "priority",
+                    "rule", "reload", "temp", "seq", "pull_rank",
+                ),
+            )
+            summary_pd = (
+                batch.join(
+                    parsed.select("url_hash").withColumn("_fetched", F.lit(True)),
+                    "url_hash",
+                    "left",
+                )
+                .groupBy("task", "host")
+                .agg(
+                    F.count("*").alias("scheduled"),
+                    F.collect_list(fail_struct).alias("fails"),
                 )
                 .toPandas()
             )
             _t_select = _time.time()
-            n_failed = len(failures_pd)
-            retry_pd = failures_pd[failures_pd["reload"]].copy()
-            hard_fail = failures_pd[~failures_pd["reload"]]
-            retry_hashes = list(retry_pd["url_hash"])
-
-            # --- JOB 2: per-(task,host) scheduled counts — doubles as
-            # the batch count (termination) and the lineage source
-            sched_pd = (
-                batch.groupBy("task", "host")
-                .agg(F.count("*").alias("scheduled"))
-                .toPandas()
+            fail_rows = [
+                {
+                    "task": r["task"],
+                    "host": r["host"],
+                    **(f if isinstance(f, dict) else f.asDict()),
+                }
+                for _, r in summary_pd.iterrows()
+                for f in r["fails"]
+            ]
+            failures_pd = pd.DataFrame(
+                fail_rows,
+                columns=["task", "host", "url", "canon_url", "url_hash",
+                         "depth", "priority", "rule", "reload", "temp",
+                         "seq", "pull_rank"],
             )
+            n_failed = len(failures_pd)
+            retry_pd = failures_pd[failures_pd["reload"].astype(bool)].copy()
+            hard_fail = failures_pd[~failures_pd["reload"].astype(bool)]
+            retry_hashes = list(retry_pd["url_hash"])
+            sched_pd = summary_pd[["task", "host", "scheduled"]]
             _t_fetch = _time.time()
             n_batch = int(sched_pd["scheduled"].sum()) if len(sched_pd) else 0
             if n_batch == 0:
@@ -741,6 +792,13 @@ class FrontierEngine:
             )
             self._write_manifest()
 
+        if self._frontier_cache is not None:
+            # throughput mode left the final frontier cache-only —
+            # flush it to parquet so resume always has a snapshot
+            path = self._p("frontier", f"round={self.round}")
+            self._frontier_cache.write.mode("overwrite").parquet(path)
+            self._frontier_cache.unpersist()
+            self._frontier_cache = None
         if self._snapshot_round != self.round:
             # the last round's snapshot already exists on disk — just
             # promote it to durable (re-writing would overwrite the

@@ -8,10 +8,12 @@ from crawler_spark.sources.corpus import CORPUS_SCHEMA, build_corpus_pdf, generi
 
 def _mk(spark, pdf, workdir, **cfg_kw):
     corpus = spark.createDataFrame(pdf, CORPUS_SCHEMA)
-    cfg = EngineConfig(
+    kw = dict(
         batch_size=8, num_partitions=4, checkpoint_every=1, use_bloom=True,
-        bloom_capacity=1 << 14, **cfg_kw,
+        bloom_capacity=1 << 14,
     )
+    kw.update(cfg_kw)
+    cfg = EngineConfig(**kw)
     return FrontierEngine(
         spark, [generic_task(max_depth=3)], corpus, cfg, workdir=workdir
     )
@@ -60,6 +62,14 @@ def test_resume_with_engaged_bloom(spark, tmp_path):
     store is rebuilt distributed from the seen ledger and no URL may
     be re-crawled or lost (VERDICT r1 #9 + ADVICE r1)."""
     _resume_roundtrip(spark, _pdf(), tmp_path, bloom_min_seen=0)
+
+
+def test_resume_after_cache_mode(spark, tmp_path):
+    """Throughput mode flushes the cache-only frontier to parquet at
+    run end — resume from it must equal the uninterrupted run."""
+    _resume_roundtrip(
+        spark, _pdf(), tmp_path, checkpoint_every=0, frontier_cache_rounds=4
+    )
 
 
 def test_resume_crossing_bloom_threshold(spark, tmp_path):

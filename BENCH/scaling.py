@@ -37,12 +37,14 @@ from crawler_spark.plans.frontier import FrontierEngine
 from crawler_spark.sources.corpus import build_corpus_df, generic_task
 
 cores = int(sys.argv[1]); pages = int(sys.argv[2]); batch = int(sys.argv[3]); rounds = int(sys.argv[4])
+filler_kb = int(sys.argv[5]) if len(sys.argv) > 5 else 0
 spark = get_spark(f"scaling_{{cores}}", cores=cores, shuffle_partitions=cores)
 spark.sparkContext.setLogLevel("ERROR")
 n_hosts = max(16, pages // 2000)
 corpus = build_corpus_df(spark, seed=42, n_generic=pages, n_hosts=n_hosts,
                          out_degree=10, include_douban=False,
-                         num_partitions=max(cores * 2, 16)).persist()
+                         num_partitions=max(cores * 2, 16),
+                         filler_kb=filler_kb).persist()
 corpus.count()
 cfg = EngineConfig(batch_size=batch, num_partitions=cores, use_bloom=True,
                    bloom_capacity=max(pages * 2, 1 << 20), checkpoint_every=0)
@@ -63,7 +65,8 @@ spark.stop()
 """
 
 
-def run_one(cores: int, pages: int, batch: int, rounds: int, trials: int = 2) -> dict:
+def run_one(cores: int, pages: int, batch: int, rounds: int, trials: int = 2,
+            filler_kb: int = 0) -> dict:
     """Best of ``trials`` fresh-JVM runs — the sandbox is a shared-host
     VM with visible steal time; min wall-clock is the standard way to
     control for neighbor interference."""
@@ -73,7 +76,7 @@ def run_one(cores: int, pages: int, batch: int, rounds: int, trials: int = 2) ->
     for _ in range(trials):
         out = subprocess.run(
             [sys.executable, "-c", code, str(cores), str(pages), str(batch),
-             str(rounds)],
+             str(rounds), str(filler_kb)],
             capture_output=True,
             text=True,
             timeout=3600,

@@ -139,9 +139,3 @@ class EngineConfig:
     # rounds (≤ k·batch_size rows) are covered by a broadcast anti-join
     # until the next fold, so correctness never depends on fold timing
     bloom_fold_every: int = 1
-    # throughput mode: >0 keeps the frontier as a persisted (memory)
-    # DataFrame between parquet rounds, writing parquet only every k-th
-    # round and on the checkpoint_every grid — skips the per-round
-    # snapshot encode/IO at the cost of coarser resume granularity.
-    # 0 (default) = parquet snapshot every round
-    frontier_cache_rounds: int = 0

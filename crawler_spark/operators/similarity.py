@@ -72,7 +72,7 @@ SQDIST_EXPR = (
 )
 
 
-def ivf_cells(emb: DataFrame, step: int = 127) -> DataFrame:
+def ivf_cells(emb: DataFrame, step: int = 127, probes: int = 1) -> DataFrame:
     """Deterministic k-means-lite coarse quantizer: (vec_id, cell).
 
     Centroids are a fixed deterministic sample (every ``step``-th
@@ -83,6 +83,10 @@ def ivf_cells(emb: DataFrame, step: int = 127) -> DataFrame:
     centroid set is tiny → broadcast join; assignment is one map-side
     pass over the corpus (the 100 TB path: no shuffle until the
     per-cell probe join).
+
+    ``probes > 1`` returns the top-``probes`` nearest cells per vector
+    (multi-assignment — the standard recall lever for cell-blocked
+    near-dup and multi-probe IVF search).
     """
     cent = emb.filter(F.pmod(F.col("vec_id"), F.lit(step)) == 0).select(
         F.col("vec_id").alias("cid"), F.col("embedding").alias("centv")
@@ -96,7 +100,7 @@ def ivf_cells(emb: DataFrame, step: int = 127) -> DataFrame:
         .join(F.broadcast(cent))
         .withColumn("_dist", dist)
         .withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
+        .filter(F.col("_rn") <= probes)
         .select("vec_id", F.col("cid").alias("cell"))
     )
 
@@ -134,6 +138,58 @@ def ivf_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "cand_id", "score", "rank")
+    )
+
+
+def neardup_cosine_pairs(
+    emb: DataFrame, threshold: float = 0.45, step: int = 127, probes: int = 3
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, cell-blocked (SemDeDup
+    shape: cluster the corpus, compare only within clusters).
+
+    Candidate generation is LINEAR: each vector lands in its
+    ``probes`` nearest k-means-lite cells (multi-assignment recovers
+    pairs that straddle a cell boundary), candidates are an equi-join
+    on the cell id, and the exact cosine verify runs only on
+    candidates. The O(n²) all-pairs comparison never happens — at
+    100 TB the per-cell join is the whole cost, bounded by
+    probes²/n_cells of the pair space. Output: (a, b, score) with
+    a < b, score = cosine rounded to 6 dp, score >= threshold.
+
+    tests/test_similarity.py pins recall vs the exact all-pairs
+    baseline; the DuckDB twin reproduces cells and scores bit-for-bit.
+    """
+    emb = spread(emb, "vec_id")
+    cells = ivf_cells(emb, step=step, probes=probes)
+    a = cells.select(F.col("vec_id").alias("a"), "cell")
+    b = cells.select(F.col("vec_id").alias("b"), "cell")
+    cand = (
+        a.join(b, "cell")
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .dropDuplicates(["a", "b"])
+    )
+    ea = emb.select(F.col("vec_id").alias("a"), F.col("embedding").alias("ea"))
+    eb = emb.select(F.col("vec_id").alias("b"), F.col("embedding").alias("eb"))
+    return (
+        cand.join(ea, "a")
+        .join(eb, "b")
+        .withColumn("score", F.round(cosine_col("ea", "eb"), 6))
+        .filter(F.col("score") >= threshold)
+        .select("a", "b", "score")
+    )
+
+
+def neardup_pairs_exact(emb: DataFrame, threshold: float = 0.45) -> DataFrame:
+    """All-pairs exact near-dup baseline (quadratic — recall oracle
+    for tests only, never the scale path)."""
+    a = emb.select(F.col("vec_id").alias("a"), F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("b"), F.col("embedding").alias("eb"))
+    return (
+        a.join(b, F.col("a") < F.col("b"))
+        .withColumn("score", F.round(cosine_col("ea", "eb"), 6))
+        .filter(F.col("score") >= threshold)
+        .select("a", "b", "score")
     )
 
 

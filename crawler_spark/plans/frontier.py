@@ -148,7 +148,6 @@ class FrontierEngine:
         self._tasks_dim = self._build_tasks_dim()
         self._pending_seeds: list[tuple] = []
         self._prev_frontier_path: str | None = None
-        self._frontier_cache: DataFrame | None = None
         self._snapshot_round = 0
         self._seen_count = 0
         self._ranged_cache: DataFrame | None = None
@@ -491,22 +490,18 @@ class FrontierEngine:
     def _materialize_frontier(
         self, df: DataFrame, round_no: int, force_snapshot: bool = False
     ) -> DataFrame:
-        """Materialize frontier_{t+1}.
+        """Materialize frontier_{t+1} as a parquet snapshot.
 
-        Parquet snapshot by default (not localCheckpoint: its blocks
-        are never reclaimed from Python and degraded every subsequent
-        job ~30× in profiling): truncates lineage, bounds executor
-        memory, and doubles as the resume checkpoint. Non-durable
-        snapshots (rounds not on the checkpoint_every grid) are
-        deleted as soon as the next round lands.
-
-        ``frontier_cache_rounds > 0`` (throughput mode): between
-        parquet rounds the frontier is persisted + counted instead of
-        written — the count forces materialization so this round's
-        eligible/batch caches stay safe to release; the parquet
-        encode/IO and next-round decode are skipped entirely. The
-        previous round's cache is released only after the new one is
-        materialized (the new cache fill reads the old one).
+        Parquet on purpose — NOT localCheckpoint and NOT a
+        cross-round persist(): long-lived cached blocks are never
+        reclaimed from Python in this runtime and degrade every
+        subsequent job (~30× for localCheckpoint; a persisted-frontier
+        "cache mode" was built and measured 7× slower by round 3 at
+        800k pages before being removed). The parquet write truncates
+        lineage, bounds executor memory, and doubles as the resume
+        checkpoint. Non-durable snapshots (rounds not on the
+        checkpoint_every grid) are deleted as soon as the next round
+        lands.
         """
         cfg = self.cfg
         durable = force_snapshot or (
@@ -519,21 +514,6 @@ class FrontierEngine:
         # next round's shuffles, not file count. Map-side (canonicalize
         # UDF etc.) keeps full upstream parallelism.
         df = df.repartition(min(8, cfg.num_partitions), "url_hash")
-        cache_ok = (
-            not durable
-            and cfg.frontier_cache_rounds > 0
-            and round_no % cfg.frontier_cache_rounds != 0
-        )
-        if cache_ok:
-            new = df.persist()
-            new.count()  # materialize BEFORE releasing upstream caches
-            if self._frontier_cache is not None:
-                self._frontier_cache.unpersist()
-            if self._prev_frontier_path:
-                shutil.rmtree(self._prev_frontier_path, ignore_errors=True)
-                self._prev_frontier_path = None
-            self._frontier_cache = new
-            return new
         path = self._p("frontier", f"round={round_no}")
         df.write.mode("overwrite").parquet(path)
         out = self.spark.read.schema(FRONTIER_SCHEMA).parquet(path)
@@ -543,10 +523,6 @@ class FrontierEngine:
             shutil.rmtree(self._prev_frontier_path, ignore_errors=True)
         # keep non-durable snapshots only until the next round lands
         self._prev_frontier_path = None if durable else path
-        if self._frontier_cache is not None:
-            # the parquet write consumed the cached frontier — release
-            self._frontier_cache.unpersist()
-            self._frontier_cache = None
         return out
 
     # ---------------- main loop ----------------
@@ -792,13 +768,6 @@ class FrontierEngine:
             )
             self._write_manifest()
 
-        if self._frontier_cache is not None:
-            # throughput mode left the final frontier cache-only —
-            # flush it to parquet so resume always has a snapshot
-            path = self._p("frontier", f"round={self.round}")
-            self._frontier_cache.write.mode("overwrite").parquet(path)
-            self._frontier_cache.unpersist()
-            self._frontier_cache = None
         if self._snapshot_round != self.round:
             # the last round's snapshot already exists on disk — just
             # promote it to durable (re-writing would overwrite the

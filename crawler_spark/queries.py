@@ -739,6 +739,53 @@ def q_ann_lsh_sql(n_planes: int = 8):
     """
 
 
+def q_embedding_neardup(spark, sf_dir):
+    """Embedding-cosine near-dup pairs, cell-blocked (SemDeDup shape):
+    linear candidate generation via multi-assigned k-means-lite cells,
+    exact cosine verify on candidates only. Threshold 0.45 ≈ the top
+    pair-density knee of the synthetic corpus (random 64-d vectors
+    have no true dups; real near-dup corpora use 0.9+)."""
+    return S.neardup_cosine_pairs(
+        _t(spark, sf_dir, "embeddings"), threshold=0.45, step=127, probes=3
+    )
+
+
+def q_embedding_neardup_sql(step: int = 127, probes: int = 3,
+                            threshold: float = 0.45):
+    sqdist = """round(list_sum(list_transform(generate_series(1, len(e.embedding)),
+               i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(c.centv[i] AS DOUBLE))
+                  * (CAST(e.embedding[i] AS DOUBLE) - CAST(c.centv[i] AS DOUBLE)))), 6)"""
+    cosine = """round(
+        list_sum(list_transform(generate_series(1, len(ea)),
+          i -> CAST(ea[i] AS DOUBLE) * CAST(eb[i] AS DOUBLE)))
+        / (sqrt(list_sum(list_transform(generate_series(1, len(ea)),
+             i -> CAST(ea[i] AS DOUBLE) * CAST(ea[i] AS DOUBLE))))
+         * sqrt(list_sum(list_transform(generate_series(1, len(eb)),
+             i -> CAST(eb[i] AS DOUBLE) * CAST(eb[i] AS DOUBLE))))), 6)"""
+    return f"""
+    WITH cent AS (
+      SELECT vec_id AS cid, embedding AS centv FROM embeddings
+      WHERE vec_id % {step} = 0
+    ), assigned AS (
+      SELECT vec_id, cid AS cell FROM (
+        SELECT e.vec_id, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {sqdist} ASC, c.cid ASC) AS rn
+        FROM embeddings e CROSS JOIN cent c) WHERE rn <= {probes}
+    ), cand AS (
+      SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+      FROM assigned x JOIN assigned y
+        ON x.cell = y.cell AND x.vec_id < y.vec_id
+    ), verified AS (
+      SELECT cand.a, cand.b, {cosine} AS score
+      FROM cand
+      JOIN (SELECT vec_id, embedding AS ea FROM embeddings) pa ON pa.vec_id = cand.a
+      JOIN (SELECT vec_id, embedding AS eb FROM embeddings) pb ON pb.vec_id = cand.b
+    )
+    SELECT a, b, score FROM verified WHERE score >= {threshold}
+    """
+
+
 def q_lang_id(spark, sf_dir):
     return T.language_id(_t(spark, sf_dir, "documents"))
 
@@ -883,6 +930,7 @@ QUERIES = {
     "ann_brute_force": q_ann_brute_force,
     "ann_ivf": q_ann_ivf,
     "ann_lsh": q_ann_lsh,
+    "embedding_neardup": q_embedding_neardup,
     "lang_id": q_lang_id,
     "quality": q_quality,
     "token_count": q_token_count,
@@ -920,6 +968,7 @@ ORACLES = {
     "ann_brute_force": q_ann_brute_force_sql(),
     "ann_ivf": q_ann_ivf_sql(),
     "ann_lsh": q_ann_lsh_sql(4),
+    "embedding_neardup": q_embedding_neardup_sql(),
     "lang_id": q_lang_id_sql(),
     "quality": q_quality_sql(),
     "token_count": q_token_count_sql(),

@@ -144,10 +144,37 @@ def _noisy(url: str, r: int) -> str:
     return f"{scheme}://{host}:443/{path}"
 
 
+_FILLER_WORDS = (
+    "lorem ipsum dolor sit amet consectetur adipiscing elit sed do eiusmod"
+    " tempor incididunt ut labore et dolore magna aliqua enim minim veniam"
+).split()
+
+
+def _filler_paragraph(seed: int, i: int, j: int, n_bytes: int) -> str:
+    """Deterministic prose-ish filler of ~n_bytes (cheap to build:
+    one string multiply off a seeded 12-word stem, no per-word RNG)."""
+    if n_bytes <= 0:
+        return ""
+    r = _mix(seed, i, 7, j)
+    stem = " ".join(
+        _FILLER_WORDS[(r + k * 7) % len(_FILLER_WORDS)] for k in range(12)
+    )
+    body = (stem + f" p{i}w{j} ") * (n_bytes // (len(stem) + 8) + 1)
+    return f"<p>{body[:n_bytes]}</p>"
+
+
 def generic_page_text(
-    seed: int, i: int, n: int, n_hosts: int, out_degree: int = 8
+    seed: int, i: int, n: int, n_hosts: int, out_degree: int = 8,
+    filler_kb: int = 0,
 ) -> str:
-    """HTML of generic page i: out_degree links, ~2% dangling."""
+    """HTML of generic page i: out_degree links, ~2% dangling.
+
+    ``filler_kb > 0`` pads the page to a realistic size with
+    deterministic prose interleaved BETWEEN the anchor tags, so the
+    link-extract regex must scan the whole body — per-page parse cost
+    then approximates a real crawl (reference pages are tens of KB,
+    not the bare ~0.7 KB skeleton used by the correctness tests)."""
+    per_link = (filler_kb * 1024) // max(out_degree, 1)
     parts = [f"<html><head><title>page {i}</title></head><body>"]
     parts.append(f"<h1>Synthetic page {i}</h1>")
     for j in range(out_degree):
@@ -157,6 +184,8 @@ def generic_page_text(
         else:
             t = (i * 131 + 1 + r % (2 * out_degree * 997)) % n
             target_url = _noisy(generic_url(seed, t, n_hosts), r)
+        if per_link:
+            parts.append(_filler_paragraph(seed, i, j, per_link))
         parts.append(f'<a href="{target_url}" class="link">link {j}</a>')
     parts.append(f"<p>filler text body of page {i} lorem synthetic</p></body></html>")
     return "\n".join(parts)
@@ -292,6 +321,7 @@ def build_corpus_df(
     out_degree: int = 8,
     include_douban: bool = True,
     num_partitions: int | None = None,
+    filler_kb: int = 0,
 ) -> DataFrame:
     """Distributed corpus: generate partition-locally via mapInPandas.
 
@@ -306,7 +336,8 @@ def build_corpus_df(
             rows = [
                 (
                     generic_url(seed, i, n_hosts),
-                    generic_page_text(seed, i, n_generic, n_hosts, out_degree),
+                    generic_page_text(seed, i, n_generic, n_hosts, out_degree,
+                                      filler_kb=filler_kb),
                 )
                 for i in ids
             ]

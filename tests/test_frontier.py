@@ -162,21 +162,6 @@ def test_bloom_lazy_fold_same_result(spark, small_pdf, workdir):
     assert_equivalent(eng, oracle)
 
 
-def test_frontier_cache_mode_same_result(spark, small_pdf, workdir):
-    """Throughput mode (frontier_cache_rounds>0: persisted frontier
-    between parquet rounds) must stay bit-identical with the oracle."""
-    tasks = [generic_task(max_depth=3)]
-    corpus_df = spark.createDataFrame(small_pdf, CORPUS_SCHEMA)
-    cfg = EngineConfig(
-        batch_size=16, num_partitions=4, max_rounds=25, use_bloom=False,
-        checkpoint_every=0, frontier_cache_rounds=3,
-    )
-    eng = FrontierEngine(spark, tasks, corpus_df, cfg, workdir=workdir)
-    eng.run(max_rounds=25)
-    oracle = run_oracle(tasks, small_pdf, batch_size=16, max_rounds=25)
-    assert_equivalent(eng, oracle)
-
-
 def test_distributed_rank_path_exact(spark, small_pdf, workdir):
     """Force the range-partitioned two-pass pull_rank (the >256k-batch
     path) — must be bit-identical with the window path / oracle."""

@@ -64,14 +64,6 @@ def test_resume_with_engaged_bloom(spark, tmp_path):
     _resume_roundtrip(spark, _pdf(), tmp_path, bloom_min_seen=0)
 
 
-def test_resume_after_cache_mode(spark, tmp_path):
-    """Throughput mode flushes the cache-only frontier to parquet at
-    run end — resume from it must equal the uninterrupted run."""
-    _resume_roundtrip(
-        spark, _pdf(), tmp_path, checkpoint_every=0, frontier_cache_rounds=4
-    )
-
-
 def test_resume_crossing_bloom_threshold(spark, tmp_path):
     """Resume while seen < bloom_min_seen, crossing the threshold in
     the resumed run: first engagement must backfill every earlier

@@ -41,11 +41,16 @@ filler_kb = int(sys.argv[5]) if len(sys.argv) > 5 else 0
 spark = get_spark(f"scaling_{{cores}}", cores=cores, shuffle_partitions=cores)
 spark.sparkContext.setLogLevel("ERROR")
 n_hosts = max(16, pages // 2000)
-corpus = build_corpus_df(spark, seed=42, n_generic=pages, n_hosts=n_hosts,
-                         out_degree=10, include_douban=False,
-                         num_partitions=max(cores * 2, 16),
-                         filler_kb=filler_kb).persist()
-corpus.count()
+# corpus generated once to parquet, then scanned JVM-side each round —
+# a Python-generated in-memory persist at realistic page sizes (GBs)
+# evicts/recomputes under execution pressure and thrashes; the on-disk
+# copy rides the page cache and decompresses in whole-stage codegen
+corpus_path = f"/tmp/scaling_corpus_{{cores}}"
+build_corpus_df(spark, seed=42, n_generic=pages, n_hosts=n_hosts,
+                out_degree=10, include_douban=False,
+                num_partitions=max(cores * 2, 16),
+                filler_kb=filler_kb).write.mode("overwrite").parquet(corpus_path)
+corpus = spark.read.parquet(corpus_path)
 cfg = EngineConfig(batch_size=batch, num_partitions=cores, use_bloom=True,
                    bloom_capacity=max(pages * 2, 1 << 20), checkpoint_every=0)
 task = generic_task(max_depth=64, n_seeds=batch, n_hosts=n_hosts)
@@ -62,6 +67,9 @@ print("RESULT " + json.dumps({{
     "phases": eng.metrics,
 }}))
 spark.stop()
+import shutil
+shutil.rmtree(corpus_path, ignore_errors=True)
+shutil.rmtree(f"/tmp/scaling_work_{{cores}}", ignore_errors=True)
 """
 
 

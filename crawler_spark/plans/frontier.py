@@ -313,12 +313,9 @@ class FrontierEngine:
         )
 
     # ---------------- round stages ----------------
-    def _pull_order(self):
-        # two-FIFO scheduler: priority>0 class first, then enqueue order
-        return [
-            F.when(F.col("priority") > 0, 0).otherwise(1).asc(),
-            F.col("seq").asc(),
-        ]
+    # pull order (two-FIFO scheduler: priority>0 class first, then
+    # enqueue order) is materialized as the `_pclass` column in
+    # _select_batch and ordered as (_pclass asc, seq asc) throughout
 
     def _eligible(self, frontier: DataFrame, seen: DataFrame | None) -> DataFrame:
         e = frontier.join(F.broadcast(self._tasks_dim), "task").filter(
@@ -356,25 +353,49 @@ class FrontierEngine:
         return e
 
     def _select_batch(self, eligible: DataFrame) -> DataFrame:
-        order = self._pull_order()
-        w_dup = Window.partitionBy("url_hash").orderBy(*order)
-        # host rank counts only non-dup rows (a skipped dup never
-        # consumes budget — the Go loop drops it before the limiter)
-        nodup = eligible.withColumn(
-            "_dup_rank", F.row_number().over(w_dup)
-        ).filter(F.col("_dup_rank") == 1)
-        # per-(task,host) budget, skew-proof: a hot host (the corpus
-        # generator gives one host ~30% of pages) must not serialize
-        # one reducer. Two-phase top-k with identical semantics:
-        #   1. rank within (task, host, salt) — the skewed shuffle key
-        #      is salted, so a hot host spreads over max_salts reducers;
-        #      any row with salted rank > budget can't be in the true
-        #      per-host top-budget either → safe to drop.
-        #   2. exact rank over the ≤ salts×budget survivors per host.
+        """Winner selection on NARROW rows.
+
+        Everything between eligibility and the batch cut used to
+        shuffle full frontier rows (~250 B: urls, rule, temp, …) —
+        at millions of frontier rows per round that shuffle volume is
+        the scaling bottleneck. All the selection logic only needs
+        (url_hash, pull-order key, host-budget key), so this runs on a
+        ~50 B projection and `_rejoin_batch` recovers the full rows
+        for the bounded batch afterwards with a broadcast join.
+
+        Dedup (first-wins per url_hash) is a groupBy + struct-min, NOT
+        a row_number window: min() gets a map-side partial aggregate,
+        so only distinct url_hashes reach the shuffle — a window ranks
+        after shuffling every row. ``seq`` is globally unique (round/
+        pull_rank/match_index encoding; retries can't collide with
+        children because a retried parent fetched nothing), so the
+        lexicographic struct-min is decided by (_pclass, seq) and the
+        extra carried fields never affect which row wins.
+
+        Budget path: same narrow rows through the skew-salted
+        two-phase per-(task,host) top-k — a hot host (the corpus
+        generator gives one host ~30% of pages) must not serialize one
+        reducer. Phase 1 ranks within (task, host, salt): any row with
+        salted rank > budget can't be in the true per-host top-budget
+        either → safe to drop. Phase 2 is the exact rank over the
+        ≤ salts×budget survivors per host. A skipped dup never
+        consumes budget — the Go loop drops it before the limiter.
+        """
+        pclass = F.when(F.col("priority") > 0, 0).otherwise(1)
+        carried = [pclass.alias("_pclass"), F.col("seq")]
+        if self._any_budget:
+            carried += [F.col("task"), F.col("host"), F.col("host_budget")]
+        nodup = (
+            eligible.select("url_hash", F.struct(*carried).alias("_t"))
+            .groupBy("url_hash")
+            .agg(F.min("_t").alias("_w"))
+            .select("url_hash", "_w.*")
+        )
         if not self._any_budget:
             # no politeness caps anywhere → the host windows are
             # identity filters; skip their shuffles entirely
-            return nodup.select(_FRONTIER_COLS)
+            return nodup
+        order = [F.col("_pclass").asc(), F.col("seq").asc()]
         n_salts = max(1, self.cfg.max_salts)
         if n_salts > 1:
             salted = nodup.withColumn(
@@ -391,7 +412,7 @@ class FrontierEngine:
         ).filter(F.col("_host_rank") <= F.col("host_budget"))
         # the global batch cut happens in _with_pull_rank (TakeOrdered
         # for small batches, distributed rank+filter for large ones)
-        return candidates.select(_FRONTIER_COLS)
+        return candidates.select("url_hash", "_pclass", "seq")
 
     def _with_pull_rank(self, candidates: DataFrame) -> DataFrame:
         """Global batch cut + dense 0-based pull_rank in pull order.
@@ -405,7 +426,7 @@ class FrontierEngine:
         400k+ limit must never reach TakeOrdered (its driver merge is
         O(P × B) single-threaded).
         """
-        order = self._pull_order()
+        order = [F.col("_pclass").asc(), F.col("seq").asc()]
         bsize = self.cfg.batch_size if self.cfg.batch_size > 0 else (1 << 62)
         if bsize <= self.cfg.rank_window_max:
             batch = candidates.orderBy(*order).limit(bsize)
@@ -413,10 +434,7 @@ class FrontierEngine:
             return batch.withColumn("pull_rank", F.row_number().over(w) - 1)
         P = self.cfg.num_partitions
         ranged = (
-            candidates.withColumn(
-                "_pclass", F.when(F.col("priority") > 0, 0).otherwise(1)
-            )
-            .repartitionByRange(P, F.col("_pclass"), F.col("seq"))
+            candidates.repartitionByRange(P, F.col("_pclass"), F.col("seq"))
             .sortWithinPartitions("_pclass", "seq")
             .persist()
         )
@@ -433,9 +451,12 @@ class FrontierEngine:
             offsets[pid] = acc
             acc += counts.get(pid, 0)
         bc = self.spark.sparkContext.broadcast(offsets)
-        out_schema = StructType(
-            list(FRONTIER_SCHEMA.fields) + [StructField("pull_rank", LongType())]
-        )
+        out_schema = StructType([
+            StructField("url_hash", StringType()),
+            StructField("_pclass", IntegerType()),
+            StructField("seq", LongType()),
+            StructField("pull_rank", LongType()),
+        ])
 
         def assign(pdf_iter):
             import pandas as _pd
@@ -445,7 +466,6 @@ class FrontierEngine:
             base = bc.value.get(pid, 0)
             seen_rows = 0
             for pdf in pdf_iter:
-                pdf = pdf.drop(columns=["_pclass"])
                 pdf["pull_rank"] = _pd.RangeIndex(
                     base + seen_rows, base + seen_rows + len(pdf)
                 ).astype("int64")
@@ -456,6 +476,21 @@ class FrontierEngine:
         if bsize < (1 << 62):
             out = out.filter(F.col("pull_rank") < bsize)
         return out
+
+    def _rejoin_batch(self, eligible: DataFrame, ranked: DataFrame) -> DataFrame:
+        """Recover full frontier rows for the cut batch.
+
+        ``ranked`` is the bounded narrow batch (≤ batch_size rows of
+        url_hash/seq/pull_rank); joining it back against the persisted
+        eligible relation on (url_hash, seq) — a unique key — is a
+        broadcast hash join, so the full-width rows never shuffle at
+        all. Unbounded or >broadcast-max batches fall back to a plain
+        join (on a real cluster that join is co-partitioned with the
+        frontier's url_hash layout)."""
+        keys = ranked.select("url_hash", "seq", "pull_rank")
+        if 0 < self.cfg.batch_size <= self.cfg.fetch_broadcast_max:
+            keys = F.broadcast(keys)
+        return eligible.select(_FRONTIER_COLS).join(keys, ["url_hash", "seq"])
 
     def _children(self, parsed: DataFrame):
         base = (self.round) << _ROUND_SHIFT
@@ -571,7 +606,8 @@ class FrontierEngine:
             # (≤ batch_size rows, so the single-partition sort is
             # bounded by config, not by data).
             eligible = self._eligible(frontier, seen).persist()
-            batch = self._with_pull_rank(self._select_batch(eligible)).persist()
+            ranked = self._with_pull_rank(self._select_batch(eligible))
+            batch = self._rejoin_batch(eligible, ranked).persist()
 
             # --- simulated fetch: join bounded batch into corpus —
             # broadcast-hash while the batch is small (corpus never

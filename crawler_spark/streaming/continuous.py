@@ -78,6 +78,91 @@ def host_window_counts(
     )
 
 
+GATE_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("host", StringType()),
+        StructField("url", StringType()),
+        StructField("canon_url", StringType()),
+        StructField("url_hash", StringType()),
+        StructField("priority", IntegerType()),
+        StructField("rule", StringType()),
+        StructField("discovered_at", TimestampType()),
+    ]
+)
+
+GATE_STATE_SCHEMA = StructType(
+    [
+        StructField("window_id", StringType()),  # int64-as-str (py4j-safe)
+        StructField("used", IntegerType()),
+    ]
+)
+
+
+def politeness_gate(
+    stream: DataFrame,
+    budget_count: int,
+    budget_window_s: int,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Custom stateful operator: per-host politeness admission control.
+
+    The streaming analogue of the reference's rate limiter
+    (limiter.go: LimitConfig{EventCount, EventDur} token window; same
+    discretization as the batch engine's host_budget) as an
+    applyInPandasWithState operator: state per host = (current
+    event-time window id, admissions used). A request is admitted
+    while used < budget_count within its discovery-time window;
+    excess requests in the window are dropped (the batch engine's
+    deferred-requeue is the durable path — streaming admission is the
+    fast path, like the Go limiter's Wait on the live channel).
+
+    Rows are processed in event-time order inside each (host, batch)
+    group so admission is deterministic under Trigger.AvailableNow;
+    state is bounded: two fields per live host, no growth with
+    history. At 10^10-URL scale the groupBy(host) state store shards
+    across executors like any keyed state.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def gate(key, pdfs, state):
+        import pandas as pd
+
+        (host,) = key
+        if state.exists:
+            win_id_s, used = state.get
+            win_id = int(win_id_s)
+        else:
+            win_id, used = -1, 0
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        rows = rows.sort_values("discovered_at", kind="mergesort")
+        keep = []
+        for i, ts in enumerate(rows["discovered_at"]):
+            w = int(pd.Timestamp(ts).timestamp()) // budget_window_s
+            if w != win_id:
+                win_id, used = w, 0
+            if used < budget_count:
+                used += 1
+                keep.append(i)
+        state.update((str(win_id), used))
+        out = rows.iloc[keep][
+            ["host", "url", "canon_url", "url_hash", "priority", "rule",
+             "discovered_at"]
+        ]
+        yield out
+
+    return (
+        stream.withWatermark("discovered_at", watermark)
+        .groupBy("host")
+        .applyInPandasWithState(
+            gate,
+            GATE_OUTPUT_SCHEMA,
+            GATE_STATE_SCHEMA,
+            "append",
+            GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def run_available_now(
     spark: SparkSession,
     input_dir: str,

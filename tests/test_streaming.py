@@ -59,6 +59,73 @@ def test_streaming_dedup_available_now(spark, tmp_path):
     assert len(out2) == 3
 
 
+def test_streaming_politeness_gate(spark, tmp_path):
+    """Custom stateful operator (applyInPandasWithState): per-host
+    admission control — budget_count per budget_window_s of EVENT
+    time, state carried across triggers."""
+    from crawler_spark.streaming.continuous import (
+        discovered_stream,
+        politeness_gate,
+    )
+
+    input_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    _write_batch(
+        input_dir,
+        "b0",
+        [
+            # host a: 3 requests in window [00:00, 00:30) — budget 2
+            ("https://a.com/1", "2024-01-01 00:00:01", 0, "link"),
+            ("https://a.com/2", "2024-01-01 00:00:05", 0, "link"),
+            ("https://a.com/3", "2024-01-01 00:00:10", 0, "link"),  # dropped
+            # next window admits again
+            ("https://a.com/4", "2024-01-01 00:00:31", 0, "link"),
+            # host b: under budget
+            ("https://b.com/1", "2024-01-01 00:00:02", 0, "link"),
+        ],
+    )
+
+    def drain():
+        q = (
+            politeness_gate(
+                discovered_stream(spark, input_dir),
+                budget_count=2,
+                budget_window_s=30,
+            )
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain()
+    got = sorted(r.url for r in spark.read.parquet(out_dir).collect())
+    assert got == [
+        "https://a.com/1", "https://a.com/2", "https://a.com/4",
+        "https://b.com/1",
+    ]
+
+    # state persists across triggers: same window as /4 — only one
+    # more admission fits (budget 2, /4 already used 1)
+    _write_batch(
+        input_dir,
+        "b1",
+        [
+            ("https://a.com/5", "2024-01-01 00:00:35", 0, "link"),
+            ("https://a.com/6", "2024-01-01 00:00:40", 0, "link"),  # dropped
+        ],
+    )
+    drain()
+    got2 = sorted(r.url for r in spark.read.parquet(out_dir).collect())
+    assert got2 == [
+        "https://a.com/1", "https://a.com/2", "https://a.com/4",
+        "https://a.com/5", "https://b.com/1",
+    ]
+
+
 def test_streaming_host_window_counts(spark, tmp_path):
     from crawler_spark.streaming.continuous import (
         discovered_stream,

@@ -109,9 +109,9 @@ CORES_4N = CORES_N * 4
 
 def main():
     quick = len(sys.argv) > 1 and sys.argv[1] == "quick"
-    pages = 60_000 if quick else 400_000
-    batch = 10_000 if quick else 80_000
-    rounds = 3 if quick else 4
+    pages = 60_000 if quick else 800_000
+    batch = 10_000 if quick else 200_000
+    rounds = 3
 
     # interleave the legs (…4N, N, 4N, N…) and keep the best of each:
     # shared-host interference is time-correlated, so alternating
@@ -183,10 +183,13 @@ join (no network in the sandbox).
                f" {m.get('t_fetch_parse','-')} | {m.get('t_frontier','-')} |\n")
     md += """
 Phases: `t_select` = eligibility (depth/robots/seen anti-join +
-bloom) + priority/budget windows + TakeOrdered batch cut;
-`t_fetch_parse` = broadcast corpus join + Arrow parse UDF + bounded
-driver collect; `t_frontier` = deferred anti-join ∪ children ∪
-retries → repartition(url_hash) → parquet snapshot.
+bloom) + narrow first-wins dedup (map-side partial struct-min agg) +
+distributed-rank batch cut + broadcast rejoin + broadcast corpus
+join + Arrow parse UDF + the ONE bounded driver collect
+(per-(task,host) counts with folded failure rows — first action, so
+it carries the whole select/fetch/parse chain); `t_frontier` =
+deferred anti-join ∪ children ∪ retries → repartition(url_hash) →
+parquet snapshot.
 """
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
         f.write(md)

@@ -94,3 +94,85 @@ def extract_features(media: DataFrame) -> DataFrame:
             yield out[[f.name for f in FEATURE_SCHEMA.fields]]
 
     return media.mapInPandas(run, FEATURE_SCHEMA)
+
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("frame_index", IntegerType()),
+        StructField("timestamp_ms", LongType()),
+        StructField("frame_hash", StringType()),
+    ]
+)
+
+
+def sample_frames(media: DataFrame) -> DataFrame:
+    """Video frame sampling: one input row → n_frames output rows
+    (mapInPandas cardinality change — the real contract for an
+    ffmpeg/av frame grabber; partition-local, no shuffle). The decode
+    is stubbed deterministically: frame count = 1 + (md5 digits % 7),
+    duration_ms = n_bytes (1 byte ≙ 1 ms), frame i grabbed at
+    i·duration/n evenly-spaced timestamps, each frame identified by
+    md5(content_hash ‖ '_' ‖ i) — all DuckDB-expressible, so the
+    plumbing is value-checked end to end."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, p, nb in zip(pdf["media_id"], pdf["payload"], pdf["n_bytes"]):
+                h = hashlib.md5(bytes(p)).hexdigest()
+                n_frames = 1 + int(h[8:12], 16) % 7
+                for i in range(n_frames):
+                    rows.append(
+                        (
+                            mid,
+                            i,
+                            (i * int(nb)) // n_frames,
+                            hashlib.md5(f"{h}_{i}".encode()).hexdigest(),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in FRAME_SCHEMA.fields]
+            )
+
+    return media.mapInPandas(run, FRAME_SCHEMA)
+
+
+RESIZE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("out_width", IntegerType()),
+        StructField("out_height", IntegerType()),
+        StructField("scale", StringType()),  # 6-dp decimal string
+    ]
+)
+
+
+def resize_images(media: DataFrame, max_side: int = 256) -> DataFrame:
+    """Aspect-preserving resize-to-fit planning (the metadata half of
+    a thumbnailer; the pixel op is the codec stub). Integer target
+    dims via exact integer arithmetic — (w·max_side)//max(w,h) — so
+    Spark and the DuckDB twin agree bit-for-bit; scale emitted as a
+    6-dp string to dodge float-format drift across engines."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                d = _decode_stub(bytes(p), "image")
+                w, h = d["width"], d["height"]
+                m = max(w, h)
+                if m <= max_side:
+                    ow, oh, sc = w, h, 1.0
+                else:
+                    ow = (w * max_side) // m
+                    oh = (h * max_side) // m
+                    sc = max_side / m
+                rows.append((mid, w, h, ow, oh, f"{sc:.6f}"))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in RESIZE_SCHEMA.fields]
+            )
+
+    return media.mapInPandas(run, RESIZE_SCHEMA)

@@ -16,7 +16,12 @@ from pyspark.sql import functions as F
 from crawler_spark.operators import dedup as D
 from crawler_spark.operators import similarity as S
 from crawler_spark.operators import textstats as T
-from crawler_spark.operators.multimodal import attach_fake_payload, extract_features
+from crawler_spark.operators.multimodal import (
+    attach_fake_payload,
+    extract_features,
+    resize_images,
+    sample_frames,
+)
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -896,6 +901,66 @@ def q_multimodal_features_sql():
     """
 
 
+def q_multimodal_frames(spark, sf_dir):
+    """Video frame sampling over binary payloads: mapInPandas with a
+    cardinality change (1 media row → n_frames frame rows) — the
+    Spark-side contract of an ffmpeg frame grabber, deterministic
+    stub decode, exact DuckDB twin."""
+    docs = _t(spark, sf_dir, "documents")
+    return sample_frames(attach_fake_payload(docs, kind="video"))
+
+
+def q_multimodal_frames_sql():
+    h = "md5(text)"
+    return f"""
+    WITH m AS (
+      SELECT doc_id AS media_id, {h} AS h,
+             CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+      FROM documents
+    ), f AS (
+      SELECT media_id, h, n_bytes,
+             1 + ({_hex4('h', 9)} % 7) AS n_frames
+      FROM m
+    )
+    SELECT media_id,
+           CAST(t.i AS INT) AS frame_index,
+           (t.i * n_bytes) // n_frames AS timestamp_ms,
+           md5(h || '_' || CAST(t.i AS VARCHAR)) AS frame_hash
+    FROM f CROSS JOIN generate_series(0, 6) AS t(i)
+    WHERE t.i < n_frames
+    """
+
+
+def q_multimodal_resize(spark, sf_dir):
+    """Aspect-preserving thumbnail planning over image payloads —
+    integer-exact target dims, 6-dp scale string."""
+    docs = _t(spark, sf_dir, "documents")
+    return resize_images(attach_fake_payload(docs, kind="image"), max_side=256)
+
+
+def q_multimodal_resize_sql(max_side: int = 256):
+    h = "md5(text)"
+    return f"""
+    WITH dims AS (
+      SELECT doc_id AS media_id,
+             CAST(64 + {_hex4(h, 1)} % 1984 AS INT) AS width,
+             CAST(64 + {_hex4(h, 5)} % 1984 AS INT) AS height
+      FROM documents
+    )
+    SELECT media_id, width, height,
+           CAST(CASE WHEN greatest(width, height) <= {max_side} THEN width
+                ELSE (width * {max_side}) // greatest(width, height) END AS INT)
+             AS out_width,
+           CAST(CASE WHEN greatest(width, height) <= {max_side} THEN height
+                ELSE (height * {max_side}) // greatest(width, height) END AS INT)
+             AS out_height,
+           CASE WHEN greatest(width, height) <= {max_side} THEN '1.000000'
+                ELSE printf('%.6f', {max_side}.0 / greatest(width, height)) END
+             AS scale
+    FROM dims
+    """
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -936,6 +1001,8 @@ QUERIES = {
     "token_count": q_token_count,
     "fingerprint": q_fingerprint,
     "multimodal_features": q_multimodal_features,
+    "multimodal_frames": q_multimodal_frames,
+    "multimodal_resize": q_multimodal_resize,
 }
 
 ORACLES = {
@@ -974,4 +1041,6 @@ ORACLES = {
     "token_count": q_token_count_sql(),
     "fingerprint": q_fingerprint_sql(),
     "multimodal_features": q_multimodal_features_sql(),
+    "multimodal_frames": q_multimodal_frames_sql(),
+    "multimodal_resize": q_multimodal_resize_sql(),
 }

@@ -70,3 +70,48 @@ def test_multimodal_plumbing(spark):
     import hashlib
 
     assert by_id[2].content_hash == hashlib.md5(b"defg").hexdigest()
+
+
+def test_multimodal_frames_and_resize(spark):
+    """Frame sampling changes cardinality (1 media → n_frames rows,
+    evenly spaced, per-frame stable ids); resize planning is
+    aspect-preserving with integer-exact dims."""
+    import hashlib
+
+    from crawler_spark.operators.multimodal import (
+        attach_fake_payload,
+        resize_images,
+        sample_frames,
+    )
+
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2], "text": ["abc", "x" * 1000]})
+    )
+    media = attach_fake_payload(docs, kind="video")
+    frames = sample_frames(media).collect()
+    by_media = {}
+    for r in frames:
+        by_media.setdefault(r.media_id, []).append(r)
+    for mid, rows in by_media.items():
+        rows.sort(key=lambda r: r.frame_index)
+        h = hashlib.md5(
+            (b"abc" if mid == 1 else b"x" * 1000)
+        ).hexdigest()
+        assert len(rows) == 1 + int(h[8:12], 16) % 7
+        assert rows[0].timestamp_ms == 0
+        assert [r.frame_index for r in rows] == list(range(len(rows)))
+        assert rows[0].frame_hash == hashlib.md5(f"{h}_0".encode()).hexdigest()
+        # monotone, within duration (n_bytes ms)
+        ts = [r.timestamp_ms for r in rows]
+        assert ts == sorted(ts) and ts[-1] < (3 if mid == 1 else 1000)
+
+    rs = {r.media_id: r for r in resize_images(media, max_side=256).collect()}
+    for r in rs.values():
+        assert max(r.out_width, r.out_height) <= 256
+        if max(r.width, r.height) > 256:
+            # aspect preserved to integer truncation
+            assert r.out_width == (r.width * 256) // max(r.width, r.height)
+            assert r.out_height == (r.height * 256) // max(r.width, r.height)
+        else:
+            assert (r.out_width, r.out_height) == (r.width, r.height)
+            assert r.scale == "1.000000"

@@ -43,6 +43,12 @@ def main(argv=None) -> int:
     )
     spark.sparkContext.setLogLevel("ERROR")
     corpus = spark.read.schema(CORPUS_SCHEMA).parquet(args.corpus)
+    # the fetch join assumes one row per canon_url (the Go corpus is a
+    # keyed map); real crawl dumps can carry recaptures — keep the
+    # latest warc_ts deterministically, once, at load time
+    from crawler_spark.sources.corpus import dedup_corpus
+
+    corpus = dedup_corpus(corpus)
     eng = FrontierEngine(spark, tasks, corpus, cfg, workdir=args.workdir)
     res = eng.run(max_rounds=args.max_rounds or None, resume=args.resume)
     out = {

@@ -217,12 +217,24 @@ class ShardedBloom:
             .applyInPandas(orit, SHARD_STORE_SCHEMA)
         )
 
-    def check(self, df, hash_col: str, shards_df):
+    def check(self, df, hash_col: str, shards_df, replicate: int | None = None):
         """Tag ``df`` with ``_maybe_seen`` by cogrouping it with the
-        shard store on the shard id. Vectorized membership per group;
-        rows in shards with no bits row are definitely new."""
+        shard store. Vectorized membership per group; rows in shards
+        with no bits row are definitely new.
+
+        Grouping by shard id alone caps probe parallelism at
+        ``n_shards`` tasks no matter the cluster size, so the probe
+        key is (shard, sub) with sub = xxhash64(key) mod ``replicate``
+        and the (tiny) shard bits replicated to every sub — one
+        cogroup pass, n_shards × replicate concurrent tasks,
+        identical verdicts. ``replicate`` defaults to whatever makes
+        the group count reach the session's default parallelism."""
+        from pyspark.sql import functions as F
         from pyspark.sql.types import BooleanType, StructField, StructType
 
+        if replicate is None:
+            par = df.sparkSession.sparkContext.defaultParallelism
+            replicate = max(1, -(-par // self.n_shards))  # ceil div
         out_schema = StructType(
             list(df.schema.fields) + [StructField("_maybe_seen", BooleanType())]
         )
@@ -235,11 +247,23 @@ class ShardedBloom:
             else:
                 bf = BloomFilter.from_bytes(cap, fpp, bytes(right["bits"].iloc[0]))
                 left["_maybe_seen"] = bf.contains_series(left[hash_col]).values
-            return left.drop(columns=["_shard"])
+            return left.drop(columns=["_shard", "_sub"])
 
-        tagged = df.withColumn("_shard", shard_expr(hash_col, self.n_shards))
+        tagged = df.withColumn(
+            "_shard", shard_expr(hash_col, self.n_shards)
+        ).withColumn(
+            "_sub",
+            F.pmod(F.xxhash64(F.col(hash_col)), F.lit(replicate)).cast("int"),
+        )
+        shards_rep = shards_df.select(
+            "shard",
+            "bits",
+            F.explode(
+                F.array(*[F.lit(i) for i in range(replicate)])
+            ).alias("_sub"),
+        )
         return (
-            tagged.groupBy("_shard")
-            .cogroup(shards_df.groupBy("shard"))
+            tagged.groupBy("_shard", "_sub")
+            .cogroup(shards_rep.groupBy("shard", "_sub"))
             .applyInPandas(fn, out_schema)
         )

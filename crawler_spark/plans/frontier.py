@@ -200,9 +200,15 @@ class FrontierEngine:
         base = (self.round << _ROUND_SHIFT) + (
             ((1 << _RANK_SHIFT) - 1) << _RANK_SHIFT
         )
+        # continue numbering after seeds already pending from earlier
+        # add_task calls this round — two tasks added between the same
+        # rounds must keep a total seq order (t1's seeds strictly
+        # before t2's, like the oracle's monotone push counter)
+        offset = len(self._pending_seeds)
         for j, (url, priority, rule) in enumerate(task.seeds):
             self._pending_seeds.append(
-                (task.name, url, 0, priority, rule, task.reload, None, base + j)
+                (task.name, url, 0, priority, rule, task.reload, None,
+                 base + offset + j)
             )
 
     def _merge_pending_seeds(self, frontier: DataFrame) -> DataFrame:
@@ -581,8 +587,13 @@ class FrontierEngine:
             seen = self._read_seen_upto(self.round)
             # stale shard stores from the interrupted run are rebuilt
             # lazily (distributed) at first engaged _eligible — never a
-            # driver loop over seen hashes; only the count is needed
+            # driver loop over seen hashes; only the count is needed.
+            # Reset the in-memory pointers too: an engine object reused
+            # across runs (run → add_task → run(resume=True)) would
+            # otherwise read the just-deleted store path
             shutil.rmtree(self._p("bloom"), ignore_errors=True)
+            self._bloom_path = None
+            self._folded_upto = 0
             self._seen_count = seen.count() if seen is not None else 0
         else:
             if os.path.exists(self.workdir):
@@ -645,9 +656,13 @@ class FrontierEngine:
                     "rule", "reload", "temp", "seq", "pull_rank",
                 ),
             )
+            # distinct: a corpus carrying the same canon_url at two
+            # warc_ts would otherwise duplicate batch rows through the
+            # join and inflate `scheduled` (bounded set — cheap)
             summary_pd = (
                 batch.join(
-                    parsed.select("url_hash").withColumn("_fetched", F.lit(True)),
+                    parsed.select("url_hash").distinct()
+                    .withColumn("_fetched", F.lit(True)),
                     "url_hash",
                     "left",
                 )
@@ -726,7 +741,7 @@ class FrontierEngine:
             _t_seen = _time.time()
 
             if record_order:
-                fetched_flag = parsed.select("url_hash").withColumn(
+                fetched_flag = parsed.select("url_hash").distinct().withColumn(
                     "fetched", F.lit(True)
                 )
                 order_df = (

@@ -63,6 +63,23 @@ GENERIC_RULE = RuleSpec(
 )
 
 
+def dedup_corpus(corpus: DataFrame) -> DataFrame:
+    """One row per canon_url, deterministically (latest warc_ts, ties
+    by text) — the fetch join and the single-fetch-per-URL crawl
+    semantics assume a keyed corpus, but real crawl dumps carry
+    recaptures. One shuffle at load time, zero per-round cost."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("canon_url").orderBy(
+        F.col("warc_ts").desc(), F.col("text").asc()
+    )
+    return (
+        corpus.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
 def generic_task(
     max_depth: int = 5,
     budget_count: int = 0,

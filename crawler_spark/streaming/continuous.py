@@ -138,8 +138,16 @@ def politeness_gate(
         keep = []
         for i, ts in enumerate(rows["discovered_at"]):
             w = int(pd.Timestamp(ts).timestamp()) // budget_window_s
-            if w != win_id:
+            if w > win_id:
                 win_id, used = w, 0
+            elif w < win_id:
+                # late event into an already-advanced window (within
+                # the watermark): its window's budget ledger is gone —
+                # admitting would risk exceeding budget_count for that
+                # window, so the gate drops it. Never reset `used`
+                # here: a late row must not re-open the current
+                # window's budget (that would over-admit 2×).
+                continue
             if used < budget_count:
                 used += 1
                 keep.append(i)

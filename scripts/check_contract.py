@@ -111,6 +111,9 @@ def main():
         print(f"{name:24s} {status[:260]} ({len(spark_pdf)} rows, {time.time()-t0:.1f}s)")
         if verdict != "OK":
             failures += 1
+        # release per-query persisted intermediates (shingle/band
+        # relations) — long-lived cached blocks degrade this runtime
+        spark.catalog.clearCache()
     print("FAILURES:", failures)
     sys.exit(1 if failures else 0)
 

@@ -238,6 +238,49 @@ def test_add_task_mid_run(spark, small_pdf, workdir):
     assert any(it["task"] == book.name for it in oracle.items)
 
 
+def test_add_two_tasks_between_same_rounds(spark, small_pdf, workdir):
+    """Two add_task() calls between the same rounds must keep a total
+    seq order (t1's seeds strictly before t2's — the oracle's monotone
+    push counter), not collide on the same seq band."""
+    book = type(BOOK_TASK)(**{**BOOK_TASK.__dict__, "budget_count": 0})
+    group = type(GROUP_TASK)(**{**GROUP_TASK.__dict__, "budget_count": 0})
+    eng = run_engine(
+        spark, [generic_task(max_depth=2)], small_pdf, workdir,
+        batch_size=8, max_rounds=3,
+    )
+    eng.add_task(book)
+    eng.add_task(group)
+    eng.run(max_rounds=30, resume=True)
+    oracle = GoOracle(
+        [generic_task(max_depth=2)],
+        corpus_dict(small_pdf),
+        batch_size=8,
+        max_rounds=40,
+        add_tasks_after={3: [book, group]},
+    ).run()
+    assert_equivalent(eng, oracle)
+    assert any(it["task"] == book.name for it in oracle.items)
+
+
+def test_add_task_with_engaged_bloom(spark, small_pdf, workdir):
+    """add_task + resume on an engine whose bloom store is already
+    engaged: the resume must rebuild (not dangle on) the deleted
+    shard-store path and stay oracle-equal."""
+    tasks0 = [generic_task(max_depth=2)]
+    eng = run_engine(
+        spark, tasks0, small_pdf, workdir, batch_size=8, max_rounds=3,
+        bloom_min_seen=0,  # engaged from the first round
+    )
+    book = type(BOOK_TASK)(**{**BOOK_TASK.__dict__, "budget_count": 0})
+    eng.add_task(book)
+    eng.run(max_rounds=30, resume=True)
+    oracle = GoOracle(
+        tasks0, corpus_dict(small_pdf), batch_size=8, max_rounds=40,
+        add_tasks_after={3: [book]},
+    ).run()
+    assert_equivalent(eng, oracle)
+
+
 def test_reload_retry_failure_path(spark, workdir):
     """Reload=true request whose fetch fails is retried once then
     recorded as failure (engine/schedule.go:350-364): group topic

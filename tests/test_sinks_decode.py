@@ -72,6 +72,29 @@ def test_multimodal_plumbing(spark):
     assert by_id[2].content_hash == hashlib.md5(b"defg").hexdigest()
 
 
+def test_dedup_corpus_keeps_latest_capture(spark):
+    """Real crawl dumps carry recaptures of the same canon_url; the
+    CLI load path must keep exactly one row per canon_url —
+    deterministically the latest warc_ts."""
+    from crawler_spark.sources.corpus import CORPUS_SCHEMA, dedup_corpus
+
+    rows = pd.DataFrame(
+        {
+            "url": ["https://a.com/x"] * 2 + ["https://b.com/y"],
+            "canon_url": ["https://a.com/x"] * 2 + ["https://b.com/y"],
+            "warc_ts": pd.to_datetime(
+                ["2024-01-01", "2024-06-01", "2024-01-01"]
+            ),
+            "html": [b"old", b"new", b"only"],
+            "text": ["old", "new", "only"],
+            "lang": ["en"] * 3,
+        }
+    )
+    out = dedup_corpus(spark.createDataFrame(rows, CORPUS_SCHEMA)).collect()
+    by_url = {r.canon_url: r.text for r in out}
+    assert by_url == {"https://a.com/x": "new", "https://b.com/y": "only"}
+
+
 def test_multimodal_frames_and_resize(spark):
     """Frame sampling changes cardinality (1 media → n_frames rows,
     evenly spaced, per-frame stable ids); resize planning is

@@ -125,6 +125,21 @@ def test_streaming_politeness_gate(spark, tmp_path):
         "https://a.com/5", "https://b.com/1",
     ]
 
+    # a late event (earlier window, within watermark) must neither be
+    # admitted into its closed window nor reset the current window's
+    # used count (which would over-admit the rows after it)
+    _write_batch(
+        input_dir,
+        "b2",
+        [
+            ("https://a.com/7", "2024-01-01 00:00:03", 0, "link"),  # late→drop
+            ("https://a.com/8", "2024-01-01 00:00:50", 0, "link"),  # window full
+        ],
+    )
+    drain()
+    got3 = sorted(r.url for r in spark.read.parquet(out_dir).collect())
+    assert got3 == got2  # nothing new admitted
+
 
 def test_streaming_host_window_counts(spark, tmp_path):
     from crawler_spark.streaming.continuous import (

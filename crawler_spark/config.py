@@ -109,11 +109,14 @@ class EngineConfig:
     max_salts: int = 8
     max_rounds: int = 1000
     # batches up to this size get pull_rank from orderBy+limit + a
-    # single-partition window (fine for small rounds); above it the
-    # exact range-partitioned two-pass rank+filter runs instead —
-    # orderBy().limit(k) funnels P×k rows through one reduce task,
-    # which already costs seconds at k≈80k
-    rank_window_max: int = 1 << 14
+    # single-partition window; above it the exact range-partitioned
+    # two-pass rank+filter runs instead. The cut operates on NARROW
+    # ~48 B rows (url_hash, _pclass, seq — see _select_batch), so the
+    # TakeOrdered driver merge is ≈25 MB even at 512k rows and beats
+    # the two extra jobs + range shuffle of the distributed path
+    # (measured: 4-core leg −17% wall at batch 200k); million-row
+    # batches still take the distributed rank
+    rank_window_max: int = 1 << 19
     # batches up to this size are broadcast into the corpus join; above
     # it the probe goes through a shuffle join — a driver-built
     # broadcast of ≳10^6 rows serializes >100 MB through one thread

@@ -423,14 +423,15 @@ class FrontierEngine:
     def _with_pull_rank(self, candidates: DataFrame) -> DataFrame:
         """Global batch cut + dense 0-based pull_rank in pull order.
 
-        Small batch_size: TakeOrderedAndProject (bounded per-partition
-        heaps + bounded driver merge) then one single-partition window
-        over ≤ batch_size rows. Large/unbounded batch_size: exact
-        two-pass distributed rank — range-partition by the pull-order
-        key, count per partition, offset + local row index via
-        mapInPandas — then ``pull_rank < batch_size`` IS the cut. A
-        400k+ limit must never reach TakeOrdered (its driver merge is
-        O(P × B) single-threaded).
+        Small-to-mid batch_size: TakeOrderedAndProject (bounded
+        per-partition heaps + driver merge — candidates are narrow
+        ~48 B rows, so the merge is MBs even at 512k) then one
+        single-partition window over ≤ batch_size rows.
+        Large/unbounded batch_size: exact two-pass distributed rank —
+        range-partition by the pull-order key, count per partition,
+        offset + local row index via mapInPandas — then
+        ``pull_rank < batch_size`` IS the cut; the O(P × B)
+        single-threaded driver merge must not see million-row limits.
         """
         order = [F.col("_pclass").asc(), F.col("seq").asc()]
         bsize = self.cfg.batch_size if self.cfg.batch_size > 0 else (1 << 62)

@@ -142,3 +142,8 @@ class EngineConfig:
     # rounds (≤ k·batch_size rows) are covered by a broadcast anti-join
     # until the next fold, so correctness never depends on fold timing
     bloom_fold_every: int = 1
+    # storage backend for every engine table (frontier snapshots, seen
+    # set, ledgers): "auto" = Iceberg when iceberg-spark-runtime is on
+    # the classpath (the north_rule's target), versioned Parquet
+    # otherwise (this sandbox — SURVEY §7 R1). See sources/tableio.py.
+    table_format: str = "auto"

@@ -60,7 +60,6 @@ stays distributed:
 
 from __future__ import annotations
 
-import glob
 import json
 import os
 import shutil
@@ -82,6 +81,7 @@ from crawler_spark.functions.parse import make_parse_udf
 from crawler_spark.functions.urlnorm import canonicalize_udf, host_of_udf, url_hash_expr
 from crawler_spark.operators.bloom import ShardedBloom
 from crawler_spark.operators.robots import filter_robots_allowed
+from crawler_spark.sources.tableio import TableIO
 
 FRONTIER_SCHEMA = StructType(
     [
@@ -137,7 +137,11 @@ class FrontierEngine:
             if self.cfg.use_bloom
             else None
         )
-        self._bloom_path: str | None = None  # current shard-store parquet
+        # every engine table (frontier, seen, ledgers, bloom shards)
+        # goes through the TableIO seam: Iceberg tables when the
+        # runtime jar is present, versioned parquet here (SURVEY §7 R1)
+        self.io = TableIO(spark, self.workdir, mode=self.cfg.table_format)
+        self._bloom_round: int | None = None  # current shard-store round
         self._folded_upto = 0  # last seen round folded into the store
         # rule names are per-task (RuleTree.Trunk per task); dispatch key
         # is "task\x00rule"
@@ -147,7 +151,7 @@ class FrontierEngine:
         self._parse_udf = make_parse_udf(self._flat_rules)
         self._tasks_dim = self._build_tasks_dim()
         self._pending_seeds: list[tuple] = []
-        self._prev_frontier_path: str | None = None
+        self._prev_frontier_round: int | None = None
         self._snapshot_round = 0
         self._seen_count = 0
         self._ranged_cache: DataFrame | None = None
@@ -233,32 +237,16 @@ class FrontierEngine:
         return os.path.join(self.workdir, *parts)
 
     def _ledger_append(self, name: str, pdf: pd.DataFrame, round_no: int) -> None:
-        """Driver-side parquet append (no Spark job) for *bounded*
-        per-round bookkeeping (failures, lineage). Layout matches the
-        Spark-written ledgers: <name>/round=<k>/part-0.parquet with
-        ``round`` as a partition directory column."""
-        if pdf.empty:
-            return
-        d = self._p(name, f"round={round_no}")
-        os.makedirs(d, exist_ok=True)
-        pdf.to_parquet(
-            os.path.join(d, "part-0.parquet"),
-            index=False,
-            coerce_timestamps="us",  # Spark rejects TIMESTAMP(NANOS)
-            allow_truncated_timestamps=True,
-        )
+        """Driver-side append (no Spark job in parquet mode) for
+        *bounded* per-round bookkeeping (failures, lineage)."""
+        self.io.write_round_pandas(pdf, name, round_no)
 
     def _ledger_write_df(
         self, df: DataFrame, name: str, round_no: int, n_files: int = 2
     ) -> None:
-        """Distributed ledger append (unbounded-safe): one parquet dir
-        per round — the seen set, crawl-order log, and items never pass
-        through the driver. Few output files on purpose: every created
-        file costs a fork+exec chmod on libhadoop-less local FS, and
-        parquet row-group splitting keeps reads parallel regardless."""
-        df.coalesce(n_files).write.mode("overwrite").parquet(
-            self._p(name, f"round={round_no}")
-        )
+        """Distributed ledger append (unbounded-safe): the seen set,
+        crawl-order log, and items never pass through the driver."""
+        self.io.write_round(df, name, round_no, n_files=n_files)
 
     def _write_manifest(self) -> None:
         with open(self._p("manifest.json"), "w") as f:
@@ -270,33 +258,29 @@ class FrontierEngine:
         """Drop ledger rounds after ``upto_round`` (stale future state
         when resuming from an older snapshot)."""
         for name in ("seen", "order", "items", "failures", "lineage"):
-            for d in glob.glob(self._p(name, "round=*")):
-                rnd = int(os.path.basename(d).split("=")[1])
-                if rnd > upto_round:
-                    shutil.rmtree(d, ignore_errors=True)
+            self.io.drop_after(name, upto_round)
 
     def _fold_bloom(self, upto_round: int) -> None:
         """Fold seen rounds (folded_upto, upto] into the shard store —
         one distributed job (build or OR-merge), never a driver loop.
         First call doubles as backfill (threshold crossing or resume)."""
+        if upto_round == self._bloom_round:
+            return
         seen_all = self._read_seen_upto(upto_round)
         if seen_all is None:
             return
-        if self._bloom_path is None:
+        if self._bloom_round is None:
             old, delta = None, seen_all
         else:
-            old = self.spark.read.parquet(self._bloom_path)
+            old = self.io.read_round("bloom", self._bloom_round)
             delta = seen_all.filter(F.col("round") > self._folded_upto)
         shards = self._sharded.fold(old, delta)
-        path = self._p("bloom", f"round={upto_round}")
-        if path == self._bloom_path:
-            return
-        shards.coalesce(1).write.mode("overwrite").parquet(path)
-        old_path = self._bloom_path
-        self._bloom_path = path
+        self.io.write_round(shards, "bloom", upto_round, n_files=1)
+        old_round = self._bloom_round
+        self._bloom_round = upto_round
         self._folded_upto = upto_round
-        if old_path:
-            shutil.rmtree(old_path, ignore_errors=True)
+        if old_round is not None:
+            self.io.drop_round("bloom", old_round)
 
     # ---------------- seeds ----------------
     def seed_frontier(self) -> DataFrame:
@@ -336,9 +320,9 @@ class FrontierEngine:
             ):
                 # lazy first fold = distributed backfill (threshold
                 # crossing mid-run, or resume into an engaged filter)
-                if self._bloom_path is None:
+                if self._bloom_round is None:
                     self._fold_bloom(self.round)
-                shards = self.spark.read.parquet(self._bloom_path)
+                shards = self.io.read_round("bloom", self._bloom_round)
                 tagged = self._sharded.check(e, "url_hash", shards)
                 maybe = tagged.filter(F.col("_maybe_seen")).drop("_maybe_seen")
                 new = tagged.filter(~F.col("_maybe_seen")).drop("_maybe_seen")
@@ -532,14 +516,15 @@ class FrontierEngine:
     def _materialize_frontier(
         self, df: DataFrame, round_no: int, force_snapshot: bool = False
     ) -> DataFrame:
-        """Materialize frontier_{t+1} as a parquet snapshot.
+        """Materialize frontier_{t+1} as a round snapshot (TableIO:
+        Iceberg snapshot when available, parquet round dir here).
 
-        Parquet on purpose — NOT localCheckpoint and NOT a
+        A table write on purpose — NOT localCheckpoint and NOT a
         cross-round persist(): long-lived cached blocks are never
         reclaimed from Python in this runtime and degrade every
         subsequent job (~30× for localCheckpoint; a persisted-frontier
         "cache mode" was built and measured 7× slower by round 3 at
-        800k pages before being removed). The parquet write truncates
+        800k pages before being removed). The write truncates
         lineage, bounds executor memory, and doubles as the resume
         checkpoint. Non-durable snapshots (rounds not on the
         checkpoint_every grid) are deleted as soon as the next round
@@ -556,15 +541,17 @@ class FrontierEngine:
         # next round's shuffles, not file count. Map-side (canonicalize
         # UDF etc.) keeps full upstream parallelism.
         df = df.repartition(min(8, cfg.num_partitions), "url_hash")
-        path = self._p("frontier", f"round={round_no}")
-        df.write.mode("overwrite").parquet(path)
-        out = self.spark.read.schema(FRONTIER_SCHEMA).parquet(path)
+        self.io.overwrite_round(df, "frontier", round_no)
+        out = self.io.read_round("frontier", round_no, FRONTIER_SCHEMA)
         if durable:
             self._snapshot_round = round_no
-        if self._prev_frontier_path and self._prev_frontier_path != path:
-            shutil.rmtree(self._prev_frontier_path, ignore_errors=True)
+        if (
+            self._prev_frontier_round is not None
+            and self._prev_frontier_round != round_no
+        ):
+            self.io.drop_round("frontier", self._prev_frontier_round)
         # keep non-durable snapshots only until the next round lands
-        self._prev_frontier_path = None if durable else path
+        self._prev_frontier_round = None if durable else round_no
         return out
 
     # ---------------- main loop ----------------
@@ -582,8 +569,8 @@ class FrontierEngine:
             self.round = man["snapshot_round"]
             self._snapshot_round = self.round
             self._truncate_ledgers(self.round)
-            frontier = self.spark.read.schema(FRONTIER_SCHEMA).parquet(
-                self._p("frontier", f"round={self.round}")
+            frontier = self.io.read_round(
+                "frontier", self.round, FRONTIER_SCHEMA
             )
             seen = self._read_seen_upto(self.round)
             # stale shard stores from the interrupted run are rebuilt
@@ -592,8 +579,8 @@ class FrontierEngine:
             # Reset the in-memory pointers too: an engine object reused
             # across runs (run → add_task → run(resume=True)) would
             # otherwise read the just-deleted store path
-            shutil.rmtree(self._p("bloom"), ignore_errors=True)
-            self._bloom_path = None
+            self.io.drop_table("bloom")
+            self._bloom_round = None
             self._folded_upto = 0
             self._seen_count = seen.count() if seen is not None else 0
         else:
@@ -735,7 +722,7 @@ class FrontierEngine:
             # unfolded rounds with an exact broadcast anti-join
             if (
                 self._sharded is not None
-                and self._bloom_path is not None
+                and self._bloom_round is not None
                 and rnd - self._folded_upto >= self.cfg.bloom_fold_every
             ):
                 self._fold_bloom(rnd)
@@ -825,7 +812,7 @@ class FrontierEngine:
             # promote it to durable (re-writing would overwrite the
             # path the DataFrame reads from)
             self._snapshot_round = self.round
-            self._prev_frontier_path = None
+            self._prev_frontier_round = None
             self._write_manifest()
         pd.DataFrame(self.metrics or [{"round": 0}]).to_parquet(
             self._p("metrics.parquet")
@@ -834,15 +821,15 @@ class FrontierEngine:
 
     # ---------------- result readers ----------------
     def _read_seen_upto(self, round_no: int | None) -> DataFrame | None:
-        if not glob.glob(self._p("seen", "round=*")):
+        if not self.io.exists("seen"):
             return None
-        df = self.spark.read.parquet(self._p("seen"))
+        df = self.io.read("seen")
         if round_no is not None:
             df = df.filter(F.col("round") <= round_no)
         return df
 
     def read_order(self) -> DataFrame:
-        return self.spark.read.parquet(self._p("order")).orderBy("round", "pull_rank")
+        return self.io.read("order").orderBy("round", "pull_rank")
 
     def read_seen(self) -> DataFrame:
         df = self._read_seen_upto(None)
@@ -851,22 +838,22 @@ class FrontierEngine:
         return df
 
     def read_items(self) -> DataFrame:
-        if not glob.glob(self._p("items", "round=*")):
+        if not self.io.exists("items"):
             return self.spark.createDataFrame(
                 [],
                 "task string, rule string, url string, fields string, round int",
             )
-        return self.spark.read.parquet(self._p("items"))
+        return self.io.read("items")
 
     def read_failures(self) -> DataFrame:
-        if not glob.glob(self._p("failures", "round=*")):
+        if not self.io.exists("failures"):
             return self.spark.createDataFrame(
                 [], "task string, url string, url_hash string, round int"
             )
-        return self.spark.read.parquet(self._p("failures"))
+        return self.io.read("failures")
 
     def read_metrics(self) -> pd.DataFrame:
         return pd.read_parquet(self._p("metrics.parquet"))
 
     def read_lineage(self) -> DataFrame:
-        return self.spark.read.parquet(self._p("lineage"))
+        return self.io.read("lineage")

@@ -1,0 +1,247 @@
+"""TableIO — the storage seam between the engine and its tables.
+
+The north_rule targets "Iceberg tables of Common-Crawl-style web
+pages" with frontier + seen-set state checkpointed "to Iceberg
+snapshots for exact resume". This sandbox has no
+``iceberg-spark-runtime`` jar on the classpath (SURVEY.md §7 risk R1),
+so every table the engine owns — frontier snapshots, the append-only
+seen set, the order/items/failures/lineage ledgers, per-task item
+tables — goes through this one interface:
+
+- **Iceberg mode** (jar present + a catalog configured): each logical
+  table is a real Iceberg table; a "round write" is an Iceberg append
+  carrying the round as a partition column, a frontier snapshot is an
+  ``overwrite`` whose Iceberg snapshot-id is recorded for
+  ``VERSION AS OF`` time-travel resume, and expiry replaces the
+  manual directory cleanup.
+- **Parquet mode** (the sandbox): the exact layout the engine is tuned
+  for today — ``<root>/<name>/round=<k>/`` directories with few output
+  files per write (every file create on libhadoop-less local FS costs
+  a fork+exec chmod; see session.py), ``round`` recovered as a
+  partition-directory column on read.
+
+The engine's semantics (exact resume, append-only seen, per-round
+lineage) are identical in both modes; only the physical table format
+changes. Mode is auto-detected per SparkSession and can be forced with
+``TableIO(..., mode="parquet")``.
+
+Reference parity: the reference persists to MySQL tables
+(storage/sqlstorage/sqlstorage.go:40-65, sqldb/sqldb.go:72-109); the
+Spark-native analogue of "a table the cluster can append to and read
+back" is an Iceberg (or parquet-directory) table, not a JDBC sink.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+
+def iceberg_available(spark: SparkSession) -> bool:
+    """True when iceberg-spark-runtime is loadable in this JVM.
+
+    Detection = class lookup, not a trial CREATE TABLE: loading
+    ``org.apache.iceberg.spark.SparkCatalog`` by name is side-effect
+    free and answers exactly the question "would format('iceberg')
+    resolve".
+    """
+    try:
+        jvm = spark.sparkContext._jvm
+        jvm.java.lang.Class.forName("org.apache.iceberg.spark.SparkCatalog")
+        return True
+    except Exception:
+        return False
+
+
+class TableIO:
+    """Round-versioned table storage for one engine run.
+
+    Logical model shared by both modes:
+
+    - ``write_round(df, name, round, n_files)`` — append one round's
+      rows to table ``name`` (ledger semantics: seen, order, items).
+    - ``overwrite_round(df, name, round)`` — replace table ``name``
+      with this round's snapshot (frontier semantics); the previous
+      non-durable snapshot is dropped by ``drop_round``.
+    - ``read(name, schema)`` / ``read_round(name, round, schema)`` —
+      scan the whole table or one round partition.
+    - ``exists(name)`` / ``drop_round`` / ``drop_after`` — lifecycle.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        mode: str = "auto",
+        catalog: str = "crawler",
+    ):
+        self.spark = spark
+        self.root = root
+        self.catalog = catalog
+        if mode == "auto":
+            mode = "iceberg" if iceberg_available(spark) else "parquet"
+        if mode not in ("iceberg", "parquet"):
+            raise ValueError(f"unknown TableIO mode {mode!r}")
+        self.mode = mode
+
+    # ---------------- shared helpers ----------------
+    def _p(self, name: str, round_no: int | None = None) -> str:
+        if round_no is None:
+            return os.path.join(self.root, name)
+        return os.path.join(self.root, name, f"round={round_no}")
+
+    def _tbl(self, name: str) -> str:
+        # one namespace per engine workdir: basename is unique enough
+        # locally; on a cluster the catalog + db come from config
+        ns = os.path.basename(self.root.rstrip("/")).replace("-", "_")
+        return f"{self.catalog}.{ns}.{name}"
+
+    # ---------------- writes ----------------
+    def write_round(
+        self, df: DataFrame, name: str, round_no: int, n_files: int = 2
+    ) -> None:
+        """Append one round to a ledger table. Parquet: one round=<k>
+        dir, few files (chmod-exec cost per file on this FS — the read
+        side stays parallel through row-group splits). Iceberg: plain
+        append with an explicit ``round`` column; the table is
+        partitioned by round so per-round reads prune."""
+        if self.mode == "iceberg":
+            from pyspark.sql import functions as F
+
+            out = df.withColumn("round", F.lit(round_no))
+            tbl = self._tbl(name)
+            if not self.spark.catalog.tableExists(tbl):
+                out.writeTo(tbl).partitionedBy(F.col("round")).create()
+            else:
+                out.writeTo(tbl).append()
+            return
+        df.coalesce(n_files).write.mode("overwrite").parquet(
+            self._p(name, round_no)
+        )
+
+    def overwrite_round(self, df: DataFrame, name: str, round_no: int) -> None:
+        """Snapshot-table write (the frontier): each round's state is a
+        full replacement. Iceberg: ``overwritePartitions`` on the round
+        column — every write is an Iceberg snapshot, so durable
+        checkpoints are just snapshot-ids kept from expiry. Parquet:
+        a fresh round=<k> directory (the caller drops stale rounds)."""
+        if self.mode == "iceberg":
+            from pyspark.sql import functions as F
+
+            out = df.withColumn("round", F.lit(round_no))
+            tbl = self._tbl(name)
+            if not self.spark.catalog.tableExists(tbl):
+                out.writeTo(tbl).partitionedBy(F.col("round")).create()
+            else:
+                out.writeTo(tbl).overwritePartitions()
+            return
+        df.write.mode("overwrite").parquet(self._p(name, round_no))
+
+    # ---------------- reads ----------------
+    def read(self, name: str, schema: StructType | None = None) -> DataFrame:
+        """Whole-table scan; ``round`` is a real column in both modes
+        (partition-directory column in parquet mode)."""
+        if self.mode == "iceberg":
+            return self.spark.table(self._tbl(name))
+        reader = self.spark.read
+        if schema is not None:
+            reader = reader.schema(schema)
+        return reader.parquet(self._p(name))
+
+    def read_round(
+        self, name: str, round_no: int, schema: StructType | None = None
+    ) -> DataFrame:
+        """One round's rows — partition-pruned in both modes."""
+        if self.mode == "iceberg":
+            from pyspark.sql import functions as F
+
+            return (
+                self.spark.table(self._tbl(name))
+                .filter(F.col("round") == round_no)
+                .drop("round")
+            )
+        reader = self.spark.read
+        if schema is not None:
+            reader = reader.schema(schema)
+        return reader.parquet(self._p(name, round_no))
+
+    # ---------------- lifecycle ----------------
+    def exists(self, name: str) -> bool:
+        if self.mode == "iceberg":
+            return self.spark.catalog.tableExists(self._tbl(name))
+        return bool(glob.glob(self._p(name, None) + "/round=*"))
+
+    def rounds(self, name: str) -> list[int]:
+        if self.mode == "iceberg":
+            if not self.exists(name):
+                return []
+            rows = (
+                self.spark.table(self._tbl(name))
+                .select("round")
+                .distinct()
+                .collect()
+            )
+            return sorted(r["round"] for r in rows)
+        return sorted(
+            int(os.path.basename(d).split("=")[1])
+            for d in glob.glob(self._p(name, None) + "/round=*")
+        )
+
+    def drop_round(self, name: str, round_no: int) -> None:
+        """Expire one round (non-durable frontier snapshots are dropped
+        as soon as the next round lands)."""
+        if self.mode == "iceberg":
+            tbl = self._tbl(name)
+            if self.spark.catalog.tableExists(tbl):
+                self.spark.sql(
+                    f"DELETE FROM {tbl} WHERE round = {int(round_no)}"
+                )
+            return
+        shutil.rmtree(self._p(name, round_no), ignore_errors=True)
+
+    def write_round_pandas(self, pdf, name: str, round_no: int) -> None:
+        """Driver-side append for *bounded* per-round bookkeeping
+        (failures, lineage — O(batch) rows). Parquet mode writes the
+        file directly (no Spark job at all); Iceberg mode has to go
+        through the session (an Iceberg commit is a catalog
+        transaction), still one tiny single-partition append."""
+        if pdf.empty:
+            return
+        if self.mode == "iceberg":
+            df = self.spark.createDataFrame(pdf)
+            self.write_round(df.coalesce(1), name, round_no, n_files=1)
+            return
+        d = self._p(name, round_no)
+        os.makedirs(d, exist_ok=True)
+        pdf.to_parquet(
+            os.path.join(d, "part-0.parquet"),
+            index=False,
+            coerce_timestamps="us",  # Spark rejects TIMESTAMP(NANOS)
+            allow_truncated_timestamps=True,
+        )
+
+    def drop_table(self, name: str) -> None:
+        """Drop the whole table (resume discards stale bloom shard
+        stores from the interrupted run and rebuilds distributed)."""
+        if self.mode == "iceberg":
+            self.spark.sql(f"DROP TABLE IF EXISTS {self._tbl(name)}")
+            return
+        shutil.rmtree(self._p(name, None), ignore_errors=True)
+
+    def drop_after(self, name: str, upto_round: int) -> None:
+        """Truncate future rounds — resume from an older snapshot must
+        not see state the interrupted run wrote past it."""
+        if self.mode == "iceberg":
+            tbl = self._tbl(name)
+            if self.spark.catalog.tableExists(tbl):
+                self.spark.sql(
+                    f"DELETE FROM {tbl} WHERE round > {int(upto_round)}"
+                )
+            return
+        for d in glob.glob(self._p(name, None) + "/round=*"):
+            if int(os.path.basename(d).split("=")[1]) > upto_round:
+                shutil.rmtree(d, ignore_errors=True)

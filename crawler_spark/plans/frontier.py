@@ -540,7 +540,9 @@ class FrontierEngine:
         # FS, and read parallelism comes from row-group splits + the
         # next round's shuffles, not file count. Map-side (canonicalize
         # UDF etc.) keeps full upstream parallelism.
-        df = df.repartition(min(8, cfg.num_partitions), "url_hash")
+        df = df.repartition(
+            min(cfg.snapshot_writers, cfg.num_partitions), "url_hash"
+        )
         self.io.overwrite_round(df, "frontier", round_no)
         out = self.io.read_round("frontier", round_no, FRONTIER_SCHEMA)
         if durable:
@@ -614,7 +616,13 @@ class FrontierEngine:
             # driver-built broadcast is itself a serial bottleneck; on
             # a real cluster the bucketed corpus makes this join
             # shuffle-free either way)
-            probe = batch.withColumnRenamed("url", "req_url")
+            # narrow probe: only the columns parse/children/items need
+            # downstream — host/priority/reload/seq stay behind in the
+            # (persisted) batch, shrinking the per-round broadcast
+            probe = batch.select(
+                "canon_url", "url_hash", "task", "rule", "temp", "depth",
+                "pull_rank", F.col("url").alias("req_url"),
+            )
             if self.cfg.batch_size and 0 < self.cfg.batch_size <= self.cfg.fetch_broadcast_max:
                 probe_side = F.broadcast(probe)
             else:

@@ -95,15 +95,19 @@ class GoOracle:
         tasks: list[TaskConfig],
         corpus: dict[str, str],  # canon_url -> page text
         batch_size: int = 1,
-        host_budget: int | None = None,  # per (task,host) per round; None=∞
+        host_budget: int | None = None,  # uniform per-(task,host)-per-round
+        # override; None = per-task TaskConfig.host_budget_per_round
+        # (the reference's per-task LimitConfig, cmd/worker/worker.go:238-249)
         robots: list[tuple[str, str, bool]] | None = None,
         max_rounds: int = 10_000,
         add_tasks_after: dict[int, list[TaskConfig]] | None = None,
+        round_seconds: float = 60.0,  # must match EngineConfig.round_seconds
     ):
         self.tasks = {t.name: t for t in tasks}
         self.corpus = corpus
         self.batch_size = batch_size if batch_size and batch_size > 0 else 1 << 30
-        self.host_budget = host_budget if host_budget is not None else 1 << 30
+        self.host_budget = host_budget
+        self.round_seconds = round_seconds
         self.robots = robots
         self.max_rounds = max_rounds
         # dynamic task submission (AddResource, master/master.go:188-201):
@@ -111,6 +115,15 @@ class GoOracle:
         # registered and their seeds pushed (next seq values → they sort
         # after everything emitted through round k)
         self.add_tasks_after = add_tasks_after or {}
+
+    def _budget_of(self, task_name: str) -> int:
+        """Per-(task,host) round budget: the uniform override when
+        given, else the task's own politeness discretization — the
+        same ``host_budget_per_round`` the engine bakes into its
+        tasks dim, so heterogeneous per-task budgets stay in spec."""
+        if self.host_budget is not None:
+            return self.host_budget
+        return self.tasks[task_name].host_budget_per_round(self.round_seconds)
 
     def _mk_request(self, task, url, priority, rule, depth, reload, temp, seq):
         canon = canonicalize_url(url)
@@ -174,7 +187,7 @@ class GoOracle:
                     keep.append(r)  # dup stays queued; dropped next round
                     continue
                 hk = (r.task, r.host)
-                if host_taken.get(hk, 0) >= self.host_budget:
+                if host_taken.get(hk, 0) >= self._budget_of(r.task):
                     keep.append(r)  # over budget: deferred
                     continue
                 batch.append(r)

@@ -299,3 +299,34 @@ def test_reload_retry_failure_path(spark, workdir):
 
     c = Counter(o["url"] for o in oracle.crawl_order if not o["fetched"])
     assert all(v == 2 for v in c.values())
+
+
+def test_heterogeneous_per_task_budgets(spark, workdir):
+    """Tasks with DIFFERENT politeness budgets in one run (the
+    reference's per-task LimitConfig, cmd/worker/worker.go:238-249):
+    BOOK_TASK keeps its default budget_count=20/60s while the generic
+    task is uncapped. The oracle derives each task's per-round budget
+    from its own TaskConfig (GoOracle._budget_of), so the engine's
+    tasks-dim host_budget column must bind book fetches to 20/host/
+    round while generic hosts run free — order/seen/items exact.
+    Full-size douban section (30 subjects) so the cap actually binds:
+    a round fetches exactly 20 subjects and defers the rest."""
+    pdf = build_corpus_pdf(seed=7, n_generic=150, n_hosts=8)
+    tasks = [generic_task(max_depth=4, seed=7, n_hosts=8), BOOK_TASK, GROUP_TASK]
+    corpus_df = spark.createDataFrame(pdf, CORPUS_SCHEMA)
+    cfg = EngineConfig(
+        batch_size=37, num_partitions=4, max_rounds=20,
+        use_bloom=True, bloom_capacity=1 << 14, bloom_min_seen=1,
+    )
+    eng = FrontierEngine(spark, tasks, corpus_df, cfg, workdir=workdir)
+    eng.run(max_rounds=20)
+    oracle = GoOracle(
+        list(tasks), corpus_dict(pdf), batch_size=37, max_rounds=20,
+    ).run()
+    assert_equivalent(eng, oracle)
+    # the budget actually bound: a full round of 20 subjects, rest deferred
+    per_round = {}
+    for o in oracle.crawl_order:
+        if "book.douban.com/subject" in o["url"]:
+            per_round[o["round"]] = per_round.get(o["round"], 0) + 1
+    assert len(per_round) > 1 and max(per_round.values()) == 20

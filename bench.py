@@ -112,16 +112,24 @@ def main():
     frontier = bench_frontier(spark, cpus, workdir)
     spark.catalog.clearCache()  # crawl state must not tax the queries
 
+    # best-of-2 per query, same shared-host noise control as the crawl
+    # legs: identical queries measured minutes apart vary up to 3× with
+    # neighbor load, and round-over-round BENCH comparisons need the
+    # engine's number, not the window's
     query_secs = {}
-    for name in BENCH_QUERIES:
-        t0 = time.time()
-        QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-        query_secs[name] = round(time.time() - t0, 3)
-        # operators persist intermediates (shingles, bands) for plan
-        # reuse inside ONE query; across 37 queries those blocks pile
-        # up and this runtime degrades under long-lived cached blocks
-        # (see CLAUDE.md) — release between queries
-        spark.catalog.clearCache()
+    for trial in range(2):
+        for name in BENCH_QUERIES:
+            t0 = time.time()
+            QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            dt = round(time.time() - t0, 3)
+            if name not in query_secs or dt < query_secs[name]:
+                query_secs[name] = dt
+            # operators persist intermediates (shingles, bands) for
+            # plan reuse inside ONE query; across 37 queries those
+            # blocks pile up and this runtime degrades under
+            # long-lived cached blocks (see CLAUDE.md) — release
+            # between queries
+            spark.catalog.clearCache()
 
     total = round(frontier["crawl_secs"] + sum(query_secs.values()), 2)
     out = {

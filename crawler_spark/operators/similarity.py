@@ -160,7 +160,14 @@ def neardup_cosine_pairs(
     baseline; the DuckDB twin reproduces cells and scores bit-for-bit.
     """
     emb = spread(emb, "vec_id")
-    cells = ivf_cells(emb, step=step, probes=probes)
+    # persisted: both sides of the candidate self-join read `cells`,
+    # and without the barrier each side re-runs the centroid-distance
+    # window (the dominant scalar cost — n_vecs × n_cells × dim
+    # multiply-adds) over the full corpus, exactly the recompute
+    # pattern the LSH band relation had. Two narrow columns per
+    # (vector, probe) — at 100 TB this is the materialized
+    # cell-assignment stage between quantization and the block join.
+    cells = ivf_cells(emb, step=step, probes=probes).persist()
     a = cells.select(F.col("vec_id").alias("a"), "cell")
     b = cells.select(F.col("vec_id").alias("b"), "cell")
     cand = (

@@ -106,10 +106,105 @@ def run_one(cores: int, pages: int, batch: int, rounds: int, trials: int = 2,
 CORES_N = int(os.environ.get("SCALING_N", "4"))
 CORES_4N = CORES_N * 4
 
+_HB, _HE = "<!-- SCALING_HISTORY_BEGIN -->", "<!-- SCALING_HISTORY_END -->"
+
+
+def _history_md(stats: dict, hist: list[dict]) -> str:
+    n, n4 = str(CORES_N), str(CORES_4N)
+    lines = [
+        _HB,
+        "## Official-run history (auto-maintained by scaling.py)",
+        "",
+        "Every full interleaved protocol run, so the best-run headline",
+        "above is reviewable against its sample. Two cross-run",
+        "statistics that a slow-denominator window cannot inflate:",
+        "per-leg bests (min wall-clock per leg across ALL runs) and the",
+        "median official efficiency.",
+        "",
+        f"- runs archived: {stats['n_runs']}",
+        f"- median official efficiency: **{stats['median_eff']}**",
+    ]
+    bl = stats["best_legs"]
+    if stats["eff_of_best_legs"] is not None:
+        lines.append(
+            f"- per-leg bests: local[{n}] {bl[n]['urls_per_sec']} urls/s, "
+            f"local[{n4}] {bl[n4]['urls_per_sec']} urls/s → efficiency of "
+            f"bests = **{stats['eff_of_best_legs']}**"
+        )
+    lines += ["", "| ts | eff | speedup | " + f"local[{n}] urls/s | local[{n4}] urls/s | loads before legs |", "|---|---|---|---|---|---|"]
+    for r in hist:
+        ln, l4 = r["legs"].get(n, {}), r["legs"].get(n4, {})
+        lines.append(
+            f"| {r['ts']} | {r['efficiency']} | {r['speedup']} | "
+            f"{ln.get('urls_per_sec', '-')} | {l4.get('urls_per_sec', '-')} | "
+            f"{ln.get('loadavg_before', '-')}/{l4.get('loadavg_before', '-')} |"
+        )
+    lines.append(_HE)
+    return "\n".join(lines) + "\n"
+
+
+def _write_history_section(stats: dict, hist: list[dict]) -> None:
+    path = os.path.join(REPO, "BENCH", "BASELINE.md")
+    body = open(path).read() if os.path.exists(path) else ""
+    section = _history_md(stats, hist)
+    if _HB in body and _HE in body:
+        pre = body.split(_HB)[0]
+        post = body.split(_HE, 1)[1]
+        body = pre + section + post
+    else:
+        body = body.rstrip() + "\n\n" + section
+    with open(path, "w") as f:
+        f.write(body)
+
 
 def _loadavg() -> float:
     with open("/proc/loadavg") as f:
         return float(f.read().split()[0])
+
+
+HISTORY = os.path.join(REPO, "BENCH", "scaling_history.json")
+
+
+def _append_history(record: dict) -> list[dict]:
+    """Every official run is archived — the headline is the best run,
+    but the history keeps the noise visible (a best-of statistic
+    without the underlying sample is unreviewable)."""
+    hist = []
+    if os.path.exists(HISTORY):
+        with open(HISTORY) as f:
+            hist = json.load(f)
+    hist.append(record)
+    with open(HISTORY, "w") as f:
+        json.dump(hist, f, indent=1)
+    return hist
+
+
+def _cross_run_stats(hist: list[dict]) -> dict:
+    """Two noise-controlled statistics over ALL official runs:
+
+    - per-leg best (min wall-clock per leg across runs, the standard
+      interference control) and the efficiency of those bests — this
+      one CANNOT be inflated by a slow denominator window, because a
+      slow N-core leg never becomes the N-core best;
+    - the median official efficiency, the centre of the sample.
+    """
+    effs = sorted(r["efficiency"] for r in hist)
+    med = effs[len(effs) // 2] if len(effs) % 2 else round(
+        (effs[len(effs) // 2 - 1] + effs[len(effs) // 2]) / 2, 3
+    )
+    best_legs = {}
+    for r in hist:
+        for cores, leg in r["legs"].items():
+            if cores not in best_legs or leg["urls_per_sec"] > best_legs[cores]["urls_per_sec"]:
+                best_legs[cores] = leg
+    n, n4 = str(CORES_N), str(CORES_4N)
+    eff_of_bests = None
+    if n in best_legs and n4 in best_legs:
+        eff_of_bests = round(
+            best_legs[n4]["urls_per_sec"] / best_legs[n]["urls_per_sec"] / 4.0, 3
+        )
+    return {"median_eff": med, "best_legs": best_legs,
+            "eff_of_best_legs": eff_of_bests, "n_runs": len(hist)}
 
 
 def main():
@@ -137,17 +232,26 @@ def main():
     eff = round((r32["urls_per_sec"] / r8["urls_per_sec"]) / 4.0, 3)
     speedup = round(r32["urls_per_sec"] / r8["urls_per_sec"], 2)
 
-    # keep-best: a noisy window must never degrade the recorded
-    # baseline — the stored result is the best OFFICIAL run (whole
-    # interleaved protocol), not a mix of legs across runs
+    hist = _append_history({
+        "ts": time.strftime("%Y-%m-%d %H:%M:%S"),
+        "pages": pages, "batch": batch, "rounds": rounds,
+        "legs": {str(k): v for k, v in results.items()},
+        "efficiency": eff, "speedup": speedup,
+    })
+    stats = _cross_run_stats(hist)
+
+    # headline table = best OFFICIAL run (whole interleaved protocol,
+    # never a mix of legs across runs); the history section below keeps
+    # every run and the slow-denominator-proof cross-run statistics
     prev_path = os.path.join(REPO, "BENCH", "scaling.json")
     if os.path.exists(prev_path) and "SCALING_FORCE" not in os.environ:
         with open(prev_path) as f:
             prev = json.load(f)
         if prev.get("efficiency", 0) >= eff:
-            print(f"efficiency={eff} speedup={speedup} — worse than stored "
-                  f"best {prev['efficiency']}; keeping previous BASELINE.md "
+            print(f"efficiency={eff} speedup={speedup} — run archived; "
+                  f"headline stays at stored best {prev['efficiency']} "
                   "(set SCALING_FORCE=1 to overwrite)")
+            _write_history_section(stats, hist)
             return
 
     md = f"""# BENCH/BASELINE — frontier throughput & scaling evidence
@@ -218,6 +322,7 @@ parquet snapshot.
     with open(os.path.join(REPO, "BENCH", "scaling.json"), "w") as f:
         json.dump({"results": {str(k): v for k, v in results.items()},
                    "efficiency": eff, "speedup": speedup}, f, indent=2)
+    _write_history_section(stats, hist)
     print(f"efficiency={eff} speedup={speedup} -> BENCH/BASELINE.md")
 
 

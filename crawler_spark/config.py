@@ -101,6 +101,15 @@ class EngineConfig:
     """
 
     batch_size: int = 1024  # requests fetched per round (0/neg = all eligible)
+    # the engine assumes one corpus row per canon_url (the live web —
+    # schedule.go fetches each URL once). Real crawl dumps carry
+    # recaptures at several warc_ts; the CLI dedups at load time
+    # (sources.corpus.dedup_corpus — one shuffle, zero per-round cost).
+    # Library callers with a possibly-recaptured corpus either do the
+    # same or set False, which keeps the latest (warc_ts, text) capture
+    # per url INSIDE each fetch round — a window over the bounded batch
+    # hits, so the 100 TB corpus side still never shuffles
+    corpus_unique: bool = True
     round_seconds: float = 60.0  # politeness discretization window
     num_partitions: int = 32  # host-hash partitions for frontier/seen
     bloom_capacity: int = 1 << 20  # expected seen-set size per build

@@ -100,11 +100,19 @@ FRONTIER_SCHEMA = StructType(
 )
 _FRONTIER_COLS = [f.name for f in FRONTIER_SCHEMA.fields]
 
-# seq = (round+1) << 42 | pull_rank << 21 | match_index  — strictly
+# seq = (round+1) << 45 | pull_rank << 18 | match_index  — strictly
 # increasing in (round, parent pull order, emission order), the exact
-# single-worker push order. Caps: 2^21 rounds, 2^21 batch, 2^21 links/page.
-_ROUND_SHIFT = 42
-_RANK_SHIFT = 21
+# single-worker push order. Caps (validated where the driver knows the
+# number, documented where it can't): 2^18-1 rounds, 2^27-1 batch rows
+# per round (the top rank slot is the add_task seed band), 2^18
+# links/page. The rank band got the widest slice because batch size is
+# the axis that actually grows with cluster size — a 1000-executor run
+# wants 10^7-10^8-row rounds, while round count and per-page link
+# count stay flat.
+_ROUND_SHIFT = 45
+_RANK_SHIFT = 18
+_RANK_CAP = (1 << (_ROUND_SHIFT - _RANK_SHIFT)) - 1  # top band = add_task seeds
+_ROUND_CAP = (1 << (63 - _ROUND_SHIFT)) - 1  # keep seq in signed-long range
 
 _BATCH_COLS = [
     "task", "url", "canon_url", "host", "url_hash", "depth", "priority",
@@ -125,6 +133,12 @@ class FrontierEngine:
         self.spark = spark
         self.tasks = {t.name: t for t in tasks}
         self.cfg = cfg or EngineConfig()
+        if self.cfg.batch_size >= _RANK_CAP:
+            raise ValueError(
+                f"batch_size {self.cfg.batch_size} overflows the seq "
+                f"pull_rank band (max {_RANK_CAP - 1}); shard the crawl "
+                "into more rounds instead"
+            )
         self.robots = robots
         self.workdir = workdir or self.cfg.checkpoint_dir or "/tmp/crawler_spark_work"
         self.corpus = corpus.select("canon_url", "url", "warc_ts", "text")
@@ -143,6 +157,7 @@ class FrontierEngine:
         self.io = TableIO(spark, self.workdir, mode=self.cfg.table_format)
         self._bloom_round: int | None = None  # current shard-store round
         self._folded_upto = 0  # last seen round folded into the store
+        self._bloom_drop_pending: int | None = None  # old store, dropped at round end
         # rule names are per-task (RuleTree.Trunk per task); dispatch key
         # is "task\x00rule"
         self._flat_rules = {
@@ -184,7 +199,8 @@ class FrontierEngine:
         continuation and are crawled from the following round.
 
         Seed seqs are placed at the top of the current round's seq
-        band (round << 42 | (2^21-1) << 21 | j), i.e. after every
+        band (round << _ROUND_SHIFT | _RANK_CAP << _RANK_SHIFT | j),
+        i.e. after every
         request emitted up to and including round ``self.round`` and
         before anything round ``self.round + 1`` emits — exactly where
         the Go engine's Push lands them relative to the single-worker
@@ -201,14 +217,18 @@ class FrontierEngine:
         self._any_items = self._any_items or any(
             r.item_fields or r.match_regex for r in task.rules
         )
-        base = (self.round << _ROUND_SHIFT) + (
-            ((1 << _RANK_SHIFT) - 1) << _RANK_SHIFT
-        )
+        base = (self.round << _ROUND_SHIFT) + (_RANK_CAP << _RANK_SHIFT)
         # continue numbering after seeds already pending from earlier
         # add_task calls this round — two tasks added between the same
         # rounds must keep a total seq order (t1's seeds strictly
         # before t2's, like the oracle's monotone push counter)
         offset = len(self._pending_seeds)
+        if offset + len(task.seeds) > (1 << _RANK_SHIFT):
+            raise ValueError(
+                f"add_task: {offset + len(task.seeds)} pending seeds exceed "
+                f"the per-round add_task seq band ({1 << _RANK_SHIFT}); run "
+                "a round between submissions or split the seed list"
+            )
         for j, (url, priority, rule) in enumerate(task.seeds):
             self._pending_seeds.append(
                 (task.name, url, 0, priority, rule, task.reload, None,
@@ -280,7 +300,11 @@ class FrontierEngine:
         self._bloom_round = upto_round
         self._folded_upto = upto_round
         if old_round is not None:
-            self.io.drop_round("bloom", old_round)
+            # deferred to end-of-round: the persisted `eligible` still
+            # has this round's store in its lineage (the cogroup
+            # probe), and a cache-block loss before the frontier
+            # materializes would recompute it from the deleted path
+            self._bloom_drop_pending = old_round
 
     # ---------------- seeds ----------------
     def seed_frontier(self) -> DataFrame:
@@ -584,6 +608,7 @@ class FrontierEngine:
             self.io.drop_table("bloom")
             self._bloom_round = None
             self._folded_upto = 0
+            self._bloom_drop_pending = None
             self._seen_count = seen.count() if seen is not None else 0
         else:
             if os.path.exists(self.workdir):
@@ -628,6 +653,20 @@ class FrontierEngine:
             else:
                 probe_side = probe
             hits = self.corpus.join(probe_side, "canon_url", "inner")
+            if not self.cfg.corpus_unique:
+                # recaptured corpus: keep one capture per url (latest
+                # warc_ts, ties by text — dedup_corpus's order) so
+                # children/items/order are not emitted once per
+                # capture. Window over the bounded batch hits only —
+                # the corpus side still never shuffles.
+                w_cap = Window.partitionBy("url_hash").orderBy(
+                    F.col("warc_ts").desc(), F.col("text").asc()
+                )
+                hits = (
+                    hits.withColumn("_rn", F.row_number().over(w_cap))
+                    .filter(F.col("_rn") == 1)
+                    .drop("_rn")
+                )
             parsed = hits.withColumn(
                 "parsed",
                 self._parse_udf(
@@ -696,7 +735,22 @@ class FrontierEngine:
                 eligible.unpersist()
                 batch.unpersist()
                 parsed.unpersist()
+                if self._ranged_cache is not None:
+                    self._ranged_cache.unpersist()
+                    self._ranged_cache = None
                 break
+            if n_batch >= _RANK_CAP:
+                # only reachable with batch_size=0/negative (all
+                # eligible) — a sized batch was validated at __init__
+                raise RuntimeError(
+                    f"round {self.round + 1} selected {n_batch} rows, "
+                    f"overflowing the seq pull_rank band ({_RANK_CAP}); "
+                    "set a batch_size"
+                )
+            if self.round + 1 >= _ROUND_CAP:
+                raise RuntimeError(
+                    f"round counter reached the seq band cap ({_ROUND_CAP})"
+                )
             self.round += 1
             rounds_done += 1
             rnd = self.round
@@ -781,8 +835,15 @@ class FrontierEngine:
 
             # --- JOB 3: next frontier = deferred ∪ children ∪ retries
             children = self._children(parsed)
+            # same guard as the fetch join: a batch bounded by config
+            # broadcasts (the big eligible side never shuffles); an
+            # unbounded/huge batch takes the shuffle anti-join rather
+            # than forcing a giant single-threaded driver broadcast
+            batch_seqs = batch.select("seq")
+            if self.cfg.batch_size and 0 < self.cfg.batch_size <= self.cfg.fetch_broadcast_max:
+                batch_seqs = F.broadcast(batch_seqs)
             deferred = eligible.join(
-                F.broadcast(batch.select("seq")), "seq", "left_anti"
+                batch_seqs, "seq", "left_anti"
             ).select(_FRONTIER_COLS)
             new_frontier = deferred.unionByName(children)
             if not retry_pd.empty:
@@ -797,6 +858,9 @@ class FrontierEngine:
             if self._ranged_cache is not None:
                 self._ranged_cache.unpersist()
                 self._ranged_cache = None
+            if self._bloom_drop_pending is not None:
+                self.io.drop_round("bloom", self._bloom_drop_pending)
+                self._bloom_drop_pending = None
             _t_end = _time.time()
 
             self.metrics.append(

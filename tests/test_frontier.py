@@ -9,6 +9,7 @@ seen-set, items, and failures for every configuration.
 
 import json
 
+import pandas as pd
 import pytest
 
 from crawler_spark.config import EngineConfig
@@ -330,3 +331,80 @@ def test_heterogeneous_per_task_budgets(spark, workdir):
         if "book.douban.com/subject" in o["url"]:
             per_round[o["round"]] = per_round.get(o["round"], 0) + 1
     assert len(per_round) > 1 and max(per_round.values()) == 20
+
+
+def test_recaptured_corpus_latest_capture_wins(spark, small_pdf, workdir):
+    """corpus_unique=False: a crawl dump carrying the same canon_url at
+    several warc_ts must behave as if dedup_corpus ran (latest warc_ts
+    capture, ties by text) — children/items/order emitted once per URL,
+    never once per capture. Half the duplicated URLs get an OLDER
+    garbage capture (original must win), half a NEWER real-looking one
+    (override must win), so an engine picking an arbitrary capture, or
+    parsing every capture, fails either the order or the items compare."""
+    pdf = small_pdf.copy()
+    dup = pdf.iloc[: len(pdf) // 2].copy()
+    older = dup.iloc[::2].copy()
+    older["warc_ts"] = older["warc_ts"] - pd.Timedelta(days=30)
+    older["text"] = "stale capture with no links"
+    newer = dup.iloc[1::2].copy()
+    newer["warc_ts"] = newer["warc_ts"] + pd.Timedelta(days=30)
+    newer["text"] = newer["text"].str.replace("page", "PAGE", regex=False)
+    recaptured = pd.concat([pdf, older, newer], ignore_index=True)
+    # the oracle sees what dedup_corpus would keep: latest warc_ts
+    effective = (
+        recaptured.sort_values(["warc_ts", "text"], ascending=[False, True])
+        .drop_duplicates("canon_url", keep="first")
+    )
+    tasks = [generic_task(max_depth=3)]
+    corpus_df = spark.createDataFrame(
+        recaptured.sample(frac=1.0, random_state=1), CORPUS_SCHEMA
+    )
+    cfg = EngineConfig(
+        batch_size=16, num_partitions=4, max_rounds=30,
+        use_bloom=True, bloom_capacity=1 << 14, bloom_min_seen=1 << 30,
+        corpus_unique=False,
+    )
+    eng = FrontierEngine(spark, tasks, corpus_df, cfg, workdir=workdir)
+    eng.run(max_rounds=30)
+    oracle = run_oracle(tasks, effective, batch_size=16, max_rounds=30)
+    assert_equivalent(eng, oracle)
+
+
+def test_seq_band_validation():
+    """Caps the seq encoding can't represent are rejected loudly."""
+    from crawler_spark.plans.frontier import _RANK_CAP, _RANK_SHIFT, _ROUND_SHIFT
+
+    # a batch that would overflow the pull_rank band is a config error
+    with pytest.raises(ValueError, match="pull_rank band"):
+        FrontierEngine(None, [], None, EngineConfig(batch_size=_RANK_CAP))
+    # encoding sanity at the widened caps: the largest child seq of a
+    # round sorts strictly before the next round's first seq, and the
+    # add_task band sits between them
+    rnd = 7
+    max_child = (rnd << _ROUND_SHIFT) + ((_RANK_CAP - 1) << _RANK_SHIFT) + (
+        (1 << _RANK_SHIFT) - 1
+    )
+    add_task_first = (rnd << _ROUND_SHIFT) + (_RANK_CAP << _RANK_SHIFT)
+    next_round_first = (rnd + 1) << _ROUND_SHIFT
+    assert max_child < add_task_first < next_round_first
+    assert next_round_first < (1 << 63)  # signed-long safe
+
+
+def test_add_task_seed_band_overflow(spark, small_pdf, workdir):
+    """More pending add_task seeds than the per-round band holds is
+    rejected instead of silently colliding with the next round."""
+    from crawler_spark.plans.frontier import _RANK_SHIFT
+    from crawler_spark.config import TaskConfig
+
+    corpus_df = spark.createDataFrame(small_pdf, CORPUS_SCHEMA)
+    eng = FrontierEngine(
+        spark, [generic_task(max_depth=2)], corpus_df,
+        EngineConfig(batch_size=8, num_partitions=2), workdir=workdir,
+    )
+    big = TaskConfig(
+        name="too_many_seeds",
+        seeds=[(f"http://x.test/{i}", 0, "r") for i in range((1 << _RANK_SHIFT) + 1)],
+        rules=[],
+    )
+    with pytest.raises(ValueError, match="seq band"):
+        eng.add_task(big)

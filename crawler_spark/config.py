@@ -164,3 +164,14 @@ class EngineConfig:
     # the classpath (the north_rule's target), versioned Parquet
     # otherwise (this sandbox — SURVEY §7 R1). See sources/tableio.py.
     table_format: str = "auto"
+    # compact each frontier snapshot to the rows that can still be
+    # pulled: statically-dead rows (depth > task max_depth — the Go
+    # loop drops them at pull time with no side effects,
+    # request.go:87-92) and per-url_hash dominated rows (everything
+    # ordered after the first reload=False row in pull order — once
+    # that row is pulled the url is marked seen forever, schedule.go:
+    # 277,350-364, so later duplicates can never be fetched). Bounds
+    # the frontier by distinct unseen URLs instead of by emitted edges
+    # — on a cyclic web graph the difference is unbounded. Off = keep
+    # every emitted edge (identical outputs, bigger snapshots).
+    frontier_compact: bool = True

@@ -52,10 +52,15 @@ stays distributed:
 - hot hosts cannot serialize a reducer: the per-(task,host) budget
   window bounds any host's batch share, and the frontier itself is
   hash-partitioned by url_hash (uniform) not by host;
-- frontier_{t+1} is materialized to a parquet snapshot each round
-  (lineage truncation + bounded executor memory; non-durable snapshots
-  are deleted as soon as the next round lands) and the snapshots on
-  the ``checkpoint_every`` grid are kept durable for exact resume.
+- frontier_{t+1} is compacted (statically-dead depth rows and
+  dominated per-url duplicates dropped — see ``_compact_frontier``;
+  outputs provably unchanged) and materialized to a parquet snapshot
+  each round (lineage truncation + bounded executor memory;
+  non-durable snapshots are deleted as soon as the next round lands);
+  the snapshots on the ``checkpoint_every`` grid are kept durable for
+  exact resume. Compaction bounds the frontier by distinct unseen
+  urls rather than emitted edges — the property that lets a 10^10-URL
+  crawl hold its frontier at all.
 """
 
 from __future__ import annotations
@@ -174,6 +179,9 @@ class FrontierEngine:
         self._any_items = any(
             r.item_fields or r.match_regex for t in tasks for r in t.rules
         )
+        self._any_reload = any(t.reload for t in tasks) or any(
+            r.emit_reload for t in tasks for r in t.rules
+        )
 
     def _build_tasks_dim(self) -> DataFrame:
         tasks = list(self.tasks.values())
@@ -216,6 +224,9 @@ class FrontierEngine:
         self._any_budget = any(t.budget_count > 0 for t in self.tasks.values())
         self._any_items = self._any_items or any(
             r.item_fields or r.match_regex for r in task.rules
+        )
+        self._any_reload = self._any_reload or task.reload or any(
+            r.emit_reload for r in task.rules
         )
         base = (self.round << _ROUND_SHIFT) + (_RANK_CAP << _RANK_SHIFT)
         # continue numbering after seeds already pending from earlier
@@ -537,6 +548,75 @@ class FrontierEngine:
         )
         return children
 
+    def _compact_frontier(self, df: DataFrame) -> DataFrame:
+        """Drop frontier rows that can never be fetched.
+
+        Two provably-dead classes (outputs are bit-identical to the
+        uncompacted engine — the oracle-equality suite is the gate):
+
+        1. **Statically dead**: ``depth > task.max_depth``. The Go
+           worker pulls such a request and drops it with no side
+           effects — no seen mark, no failure (request.go:87-92,
+           schedule.go:267-270) — so removing it early changes
+           nothing. On a BFS crawl the deepest emitted level is the
+           largest cohort; carrying it forever is pure dead weight.
+        2. **Dominated duplicates**: within one url_hash, pull order is
+           (_pclass, seq) and the engine/oracle fetch at most one row
+           per url per round (first-puller-wins). A reload=False row,
+           once pulled, marks the url seen *permanently* (visited
+           before fetch, schedule.go:277; only a reload retry ever
+           un-marks, schedule.go:350-364). Hence every row ordered
+           after the first reload=False row can never surface: until
+           the sealer is consumed it is outranked, afterwards the url
+           is seen. Keep the prefix up to and including that sealer.
+
+        This bounds the frontier by O(distinct unseen urls) instead of
+        O(emitted edges) — on a cyclic graph (out-degree k, revisit
+        rate r) the uncompacted frontier grows by ~k·batch rows per
+        round without bound. When no task/rule can emit reload=True
+        the prefix is just the minimum row, which a groupBy struct-min
+        computes with a map-side partial aggregate (only distinct
+        url_hashes reach the shuffle); the general case runs a
+        running-count window per url_hash.
+        """
+        df = (
+            df.join(
+                F.broadcast(self._tasks_dim.select("task", "max_depth")),
+                "task",
+                "left",
+            )
+            .filter(F.col("depth") <= F.col("max_depth"))
+            .drop("max_depth")
+        )
+        pclass = F.when(F.col("priority") > 0, 0).otherwise(1)
+        if self._any_reload:
+            w = (
+                Window.partitionBy("url_hash")
+                .orderBy(pclass.asc(), F.col("seq").asc())
+                .rowsBetween(Window.unboundedPreceding, -1)
+            )
+            sealed = F.when(F.coalesce(F.col("reload"), F.lit(False)), 0).otherwise(1)
+            return (
+                df.withColumn(
+                    "_sealed_before", F.coalesce(F.sum(sealed).over(w), F.lit(0))
+                )
+                .filter(F.col("_sealed_before") == 0)
+                .drop("_sealed_before")
+            )
+        rest = [c for c in _FRONTIER_COLS if c != "url_hash"]
+        fields = [pclass.alias("_pclass"), F.col("seq").alias("_seq")] + [
+            F.col(c) for c in rest
+        ]
+        # seq is globally unique, so the struct-min is decided by the
+        # (_pclass, _seq) prefix; the carried fields never tie-break
+        return (
+            df.select("url_hash", F.struct(*fields).alias("_t"))
+            .groupBy("url_hash")
+            .agg(F.min("_t").alias("_w"))
+            .select("url_hash", *[F.col(f"_w.{c}").alias(c) for c in rest])
+            .select(_FRONTIER_COLS)
+        )
+
     def _materialize_frontier(
         self, df: DataFrame, round_no: int, force_snapshot: bool = False
     ) -> DataFrame:
@@ -558,6 +638,8 @@ class FrontierEngine:
         durable = force_snapshot or (
             cfg.checkpoint_every > 0 and round_no % cfg.checkpoint_every == 0
         )
+        if cfg.frontier_compact:
+            df = self._compact_frontier(df)
         # url_hash repartition caps task count (unions would otherwise
         # accumulate partitions round over round); few reduce/writer
         # partitions — file creates fork chmod on libhadoop-less local

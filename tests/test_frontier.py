@@ -13,7 +13,7 @@ import pandas as pd
 import pytest
 
 from crawler_spark.config import EngineConfig
-from crawler_spark.plans.frontier import FrontierEngine
+from crawler_spark.plans.frontier import FRONTIER_SCHEMA, FrontierEngine
 from crawler_spark.plans.oracle import GoOracle
 from crawler_spark.rules import BOOK_TASK, GROUP_TASK
 from crawler_spark.sources.corpus import (
@@ -367,6 +367,51 @@ def test_recaptured_corpus_latest_capture_wins(spark, small_pdf, workdir):
     eng = FrontierEngine(spark, tasks, corpus_df, cfg, workdir=workdir)
     eng.run(max_rounds=30)
     oracle = run_oracle(tasks, effective, batch_size=16, max_rounds=30)
+    assert_equivalent(eng, oracle)
+
+
+def test_frontier_compaction_bounds_and_equivalence(spark, small_pdf, workdir):
+    """frontier_compact keeps outputs bit-identical (oracle equality)
+    while bounding the snapshot: on a no-reload cyclic graph each
+    snapshot holds at most one row per url_hash and no statically-dead
+    depth rows; with compaction off the same crawl carries strictly
+    more rows. The equality assert is the real gate — compaction must
+    be invisible in order/seen/items/failures."""
+    tasks = [generic_task(max_depth=2)]
+    eng = run_engine(spark, tasks, small_pdf, workdir + "_on", batch_size=8,
+                     max_rounds=6)
+    oracle = run_oracle(tasks, small_pdf, batch_size=8, max_rounds=6)
+    assert_equivalent(eng, oracle)
+    snap = eng.io.read_round("frontier", eng.round, FRONTIER_SCHEMA)
+    n_rows = snap.count()
+    assert snap.select("url_hash").distinct().count() == n_rows
+    max_depth_in_snap = snap.agg({"depth": "max"}).collect()[0][0]
+    assert max_depth_in_snap is None or max_depth_in_snap <= 2
+    # same crawl uncompacted: identical outputs, fatter snapshot
+    corpus_df = spark.createDataFrame(small_pdf, CORPUS_SCHEMA)
+    cfg = EngineConfig(batch_size=8, num_partitions=4, max_rounds=6,
+                       use_bloom=True, bloom_capacity=1 << 14,
+                       bloom_min_seen=1 << 30, frontier_compact=False)
+    eng_off = FrontierEngine(spark, tasks, corpus_df, cfg,
+                             workdir=workdir + "_off")
+    eng_off.run(max_rounds=6)
+    assert_equivalent(eng_off, oracle)
+    snap_off = eng_off.io.read_round("frontier", eng_off.round, FRONTIER_SCHEMA)
+    assert snap_off.count() > n_rows
+
+
+def test_frontier_compaction_reload_prefix(spark, small_pdf, workdir):
+    """With reload-emitting rules in play (GROUP_TASK links are
+    Reload=true and hit dangling urls → retry path), compaction takes
+    the running-count window path and must still match the oracle
+    exactly — the kept prefix (reload=True rows up to the first
+    sealer) is precisely what the Go loop could ever pull."""
+    group = type(GROUP_TASK)(**{**GROUP_TASK.__dict__, "budget_count": 0})
+    tasks = [generic_task(max_depth=3), group]
+    eng = run_engine(spark, tasks, small_pdf, workdir, batch_size=8,
+                     max_rounds=25)
+    assert eng._any_reload  # window path actually exercised
+    oracle = run_oracle(tasks, small_pdf, batch_size=8, max_rounds=25)
     assert_equivalent(eng, oracle)
 
 

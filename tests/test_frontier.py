@@ -453,3 +453,41 @@ def test_add_task_seed_band_overflow(spark, small_pdf, workdir):
     )
     with pytest.raises(ValueError, match="seq band"):
         eng.add_task(big)
+
+
+@pytest.mark.parametrize(
+    "seed,n_generic,n_hosts,out_degree,batch,budget,max_depth",
+    [
+        # dense cycles on 2 hosts + tight per-host budget, odd batch:
+        # budget-deferral and first-wins dedup under heavy duplication
+        (7, 40, 2, 8, 7, 2, 6),
+        # sparse chain-like graph, tiny batch, no budget: many rounds,
+        # deep BFS, depth cutoff actually reached
+        (13, 25, 3, 2, 3, None, 4),
+        # wider graph, prime batch, moderate budget: rank/cut + budget
+        # interplay at a size where several hosts stay contended
+        (29, 80, 7, 6, 19, 3, 8),
+    ],
+)
+def test_randomized_graph_engine_oracle_equivalence(
+    spark, workdir, seed, n_generic, n_hosts, out_degree, batch, budget, max_depth
+):
+    """Engine ↔ oracle equality on generator-randomized graphs.
+
+    The fixed ``small_pdf`` fixture pins one graph shape; this matrix
+    re-derives the corpus from different seeds/degrees so cycle
+    density, host skew, dangling-link rate, and BFS depth all differ —
+    the configurations are chosen to force budget deferral, the depth
+    cutoff, and multi-round duplicate arrival, each of which must stay
+    bit-identical to the Go-semantics oracle (order, seen, items,
+    failures)."""
+    pdf = build_corpus_pdf(
+        seed=seed, n_generic=n_generic, n_hosts=n_hosts,
+        out_degree=out_degree, n_lists=1, books_per_list=2, n_topics=2,
+    )
+    tasks = [generic_task(max_depth=max_depth, seed=seed, n_hosts=n_hosts)]
+    eng = run_engine(spark, tasks, pdf, workdir, batch_size=batch,
+                     budget=budget, max_rounds=60)
+    oracle = run_oracle(tasks, pdf, batch_size=batch, budget=budget,
+                        max_rounds=60)
+    assert_equivalent(eng, oracle)

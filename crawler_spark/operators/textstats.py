@@ -80,6 +80,72 @@ def token_count(docs: DataFrame) -> DataFrame:
     )
 
 
+def tfidf_top_terms(docs: DataFrame, k: int = 3) -> DataFrame:
+    """Top-k terms per document by smoothed tf-idf.
+
+    tfidf = tf × ln((N+1)/(df+1)); rank within doc by the 6-dp-rounded
+    score (desc) then term (asc) — rounding before ranking makes the
+    order deterministic across engines (ln differs by ≲1 ulp between
+    libm and the JVM). N comes in via a broadcast single-row aggregate,
+    not a driver-side count, so the whole thing is one declarative plan:
+    explode → two partial-agg groupBys → broadcast joins → window.
+    """
+    ex = spread(docs).select(
+        "doc_id", F.explode(F.expr(TOKENS_EXPR)).alias("term")
+    )
+    tf = ex.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    nd = docs.agg(F.count("*").alias("n_docs"))
+    from pyspark.sql import Window
+
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(nd))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf")
+                * F.log((F.col("n_docs") + 1) / (F.col("df") + 1)),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "term", "tf", "df", "tfidf", "rank")
+    )
+
+
+def hash_sample(
+    docs: DataFrame,
+    rates: DataFrame,
+    stratum_col: str = "lang",
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic stratified sampling — the pipeline op that turns
+    100 TB into a training mix. ``rates`` is a tiny dim
+    (stratum, permille): a row is kept iff the md5 of its key lands
+    under its stratum's per-mille threshold. Hash-based (not rand())
+    so the sample is reproducible, join-stable across runs, and
+    consistent between engines; broadcast join + codegen, no shuffle
+    of the fact side. Strata absent from ``rates`` are dropped
+    (permille 0)."""
+    bucket = (
+        F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 4), 16, 10)
+        .cast("long")
+        % 1000
+    )
+    return (
+        docs.join(F.broadcast(rates), on=stratum_col, how="inner")
+        .filter(bucket < F.col("permille"))
+        .drop("permille")
+    )
+
+
 def fingerprint(docs: DataFrame, gram: int = 8, prefix: int = 200) -> DataFrame:
     """Rolling-hash document fingerprint: min md5 over the character
     8-grams of the first ``prefix`` chars (winnowing with window = all;

@@ -13,7 +13,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from crawler_spark.operators import asof as A
 from crawler_spark.operators import dedup as D
+from crawler_spark.operators import graphrank as G
+from crawler_spark.operators import robots as R
 from crawler_spark.operators import similarity as S
 from crawler_spark.operators import textstats as T
 from crawler_spark.operators.multimodal import (
@@ -961,6 +964,199 @@ def q_multimodal_resize_sql(max_side: int = 256):
     """
 
 
+def q_asof_join(spark, sf_dir):
+    """As-of join (recaptured-corpus semantics, input_hint warc_ts):
+    for each purchase event, the user's latest click at-or-before it.
+    Spark has no ASOF JOIN; operators/asof.py is the one-shuffle
+    union+window formulation, and the DuckDB twin uses the native
+    ASOF LEFT JOIN — two independent algorithms, same rows."""
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    # right side made unique per (key, ts) so the as-of pick is
+    # deterministic (DuckDB picks an arbitrary row on exact ties)
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("click_id"))
+        .select("user_id", F.col("ts").alias("click_ts"), "click_id")
+    )
+    return A.asof_join(
+        purchases, clicks, key="user_id", left_ts="ts",
+        right_ts="click_ts", carry=["click_id", "click_ts"],
+    )
+
+
+def q_asof_join_sql():
+    return """
+    WITH p AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    ), c AS (
+      SELECT user_id, ts AS click_ts, max(event_id) AS click_id
+      FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+    )
+    SELECT p.event_id, p.user_id, p.ts, c.click_id, c.click_ts
+    FROM p ASOF LEFT JOIN c
+      ON p.user_id = c.user_id AND p.ts >= c.click_ts
+    """
+
+
+_HOST_RANK_EDGES_SQL = """
+    SELECT src, dst FROM (
+      SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey) e
+    UNION ALL
+    SELECT dst AS src, src AS dst FROM (
+      SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey) e2
+"""
+
+
+def q_host_rank(spark, sf_dir):
+    """Fixed-iteration PageRank over the customer↔supplier link graph
+    (the host-authority signal a 100 TB frontier prioritizes on; the
+    Go reference's FIFO has none). 3 unrolled iterations, oracled by
+    the same iterations as chained CTEs. Ranks rounded to 4dp: both
+    engines sum contributions in different orders (~1e-11 spread on
+    O(100) values), so 6dp would sit flips on the rounding boundary."""
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    e = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    return G.pagerank(edges, iterations=3, round_to=4)
+
+
+def q_host_rank_sql():
+    sql = G.pagerank_sql(_HOST_RANK_EDGES_SQL, iterations=3)
+    return sql.replace("round(rank, 6)", "round(rank, 4)")
+
+
+_ROBOTS_RULES = [
+    # (host, path_prefix, allow) — longest matching prefix wins;
+    # '/src1' also matches '/src1x/...' (pure prefix, no segment
+    # boundary), and the longer '/src12' allow-override tests the
+    # longest-prefix pick
+    *[(f"h{i}.example.com", "/src1", False) for i in range(5)],
+    *[(f"h{i}.example.com", "/src12", True) for i in range(3)],
+]
+
+
+def q_robots_filter(spark, sf_dir):
+    """robots.txt enforcement as a standalone contract query (the
+    engine applies the same operator inside _eligible): synthesize a
+    deterministic url per document, drop rows denied by the
+    longest-matching-prefix rule table."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("h"), (F.col("doc_id") % 20).cast("string"),
+            F.lit(".example.com"),
+        ).alias("host"),
+        "source",
+    )
+    frontier = docs.select(
+        "doc_id",
+        "host",
+        F.concat(
+            F.lit("http://"), F.col("host"), F.lit("/"), F.col("source"),
+            F.lit("/"), F.col("doc_id").cast("string"),
+        ).alias("canon_url"),
+    )
+    robots = spark.createDataFrame(
+        _ROBOTS_RULES, "host string, path_prefix string, allow boolean"
+    )
+    return R.filter_robots_allowed(frontier, robots).select("doc_id", "host")
+
+
+def q_robots_filter_sql():
+    vals = ", ".join(
+        f"('{h}', '{p}', {str(a).lower()})" for h, p, a in _ROBOTS_RULES
+    )
+    return f"""
+    WITH f AS (
+      SELECT doc_id,
+             'h' || CAST(doc_id % 20 AS VARCHAR) || '.example.com' AS host,
+             '/' || source || '/' || CAST(doc_id AS VARCHAR) AS path
+      FROM documents
+    ), r AS (
+      SELECT * FROM (VALUES {vals}) AS t(host, path_prefix, allow)
+    ), dec AS (
+      SELECT f.doc_id, f.host,
+             arg_max(r.allow, length(r.path_prefix)) AS decision
+      FROM f LEFT JOIN r
+        ON f.host = r.host AND starts_with(f.path, r.path_prefix)
+      GROUP BY f.doc_id, f.host
+    )
+    SELECT doc_id, host FROM dec WHERE coalesce(decision, true)
+    """
+
+
+def q_tfidf(spark, sf_dir):
+    """Top-3 tf-idf terms per document — the feature-extraction shape
+    (explode → partial-agg groupBys → broadcast N → window top-k)
+    a quality/topic scorer runs over the whole corpus."""
+    return T.tfidf_top_terms(_t(spark, sf_dir, "documents"), k=3)
+
+
+def q_tfidf_sql(k: int = 3):
+    toks = "regexp_extract_all(lower(text), '[a-z0-9]+')"
+    return f"""
+    WITH ex AS (
+      SELECT doc_id, unnest({toks}) AS term FROM documents
+    ), tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM ex GROUP BY doc_id, term
+    ), dfreq AS (
+      SELECT term, count(*) AS df FROM tf GROUP BY term
+    ), nd AS (
+      SELECT count(*) AS n_docs FROM documents
+    ), scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+             round(tf.tf * ln((CAST(n_docs AS DOUBLE) + 1.0)
+                              / (CAST(df AS DOUBLE) + 1.0)), 6) AS tfidf
+      FROM tf JOIN dfreq USING (term) CROSS JOIN nd
+    )
+    SELECT doc_id, term, tf, df, tfidf, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY tfidf DESC, term ASC) AS rank
+      FROM scored)
+    WHERE rank <= {k}
+    """
+
+
+_SAMPLE_RATES = [("en", 300), ("de", 500), ("zh", 0), ("fr", 1000)]
+
+
+def q_hash_sample(spark, sf_dir):
+    """Deterministic stratified sampling: per-language keep rates via
+    md5-bucket thresholds — the reproducible training-mix downsample
+    (same sample every run, no rand())."""
+    rates = spark.createDataFrame(_SAMPLE_RATES, "lang string, permille int")
+    return T.hash_sample(
+        _t(spark, sf_dir, "documents"), rates
+    ).select("doc_id", "lang", "source")
+
+
+def q_hash_sample_sql():
+    vals = ", ".join(f"('{s}', {p})" for s, p in _SAMPLE_RATES)
+    bucket = _hex4("md5(CAST(doc_id AS VARCHAR))", 1) + " % 1000"
+    return f"""
+    WITH rates AS (SELECT * FROM (VALUES {vals}) AS t(lang, permille))
+    SELECT doc_id, d.lang, source
+    FROM documents d JOIN rates r ON d.lang = r.lang
+    WHERE {bucket} < r.permille
+    """
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1003,6 +1199,11 @@ QUERIES = {
     "multimodal_features": q_multimodal_features,
     "multimodal_frames": q_multimodal_frames,
     "multimodal_resize": q_multimodal_resize,
+    "asof_join": q_asof_join,
+    "host_rank": q_host_rank,
+    "robots_filter": q_robots_filter,
+    "tfidf_topterms": q_tfidf,
+    "hash_sample": q_hash_sample,
 }
 
 ORACLES = {
@@ -1043,4 +1244,9 @@ ORACLES = {
     "multimodal_features": q_multimodal_features_sql(),
     "multimodal_frames": q_multimodal_frames_sql(),
     "multimodal_resize": q_multimodal_resize_sql(),
+    "asof_join": q_asof_join_sql(),
+    "host_rank": q_host_rank_sql(),
+    "robots_filter": q_robots_filter_sql(),
+    "tfidf_topterms": q_tfidf_sql(),
+    "hash_sample": q_hash_sample_sql(),
 }

@@ -1157,6 +1157,22 @@ def q_hash_sample_sql():
     """
 
 
+def q_sessionize(spark, sf_dir):
+    """Gap-timeout sessionization (30 min) of the event log, rolled up
+    per (user, session): the web-log training-pipeline shape — one
+    shuffle on user_id shared by the lag window, the running-sum
+    window, and the rollup groupBy."""
+    from crawler_spark.operators.sessions import session_rollup
+
+    return session_rollup(_t(spark, sf_dir, "events"), gap_minutes=30)
+
+
+def q_sessionize_sql():
+    from crawler_spark.operators.sessions import session_rollup_sql
+
+    return session_rollup_sql(gap_minutes=30)
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1204,6 +1220,7 @@ QUERIES = {
     "robots_filter": q_robots_filter,
     "tfidf_topterms": q_tfidf,
     "hash_sample": q_hash_sample,
+    "sessionize": q_sessionize,
 }
 
 ORACLES = {
@@ -1249,4 +1266,5 @@ ORACLES = {
     "robots_filter": q_robots_filter_sql(),
     "tfidf_topterms": q_tfidf_sql(),
     "hash_sample": q_hash_sample_sql(),
+    "sessionize": q_sessionize_sql(),
 }

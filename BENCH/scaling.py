@@ -45,7 +45,14 @@ n_hosts = max(16, pages // 2000)
 # a Python-generated in-memory persist at realistic page sizes (GBs)
 # evicts/recomputes under execution pressure and thrashes; the on-disk
 # copy rides the page cache and decompresses in whole-stage codegen
-corpus_path = f"/tmp/scaling_corpus_{{cores}}"
+# scratch on the RAM-backed tmpfs when present: the VM's virtual
+# disk caps at ~350 MB/s aggregate and collapses under concurrent
+# writers (CLAUDE.md landmine) — executor-local NVMe on a real
+# cluster does not, so tmpfs models the cluster more faithfully
+import os as _os
+_scratch = _os.environ.get("SCALING_SCRATCH",
+                           "/dev/shm" if _os.path.isdir("/dev/shm") else "/tmp")
+corpus_path = f"{{_scratch}}/scaling_corpus_{{cores}}"
 build_corpus_df(spark, seed=42, n_generic=pages, n_hosts=n_hosts,
                 out_degree=10, include_douban=False,
                 num_partitions=max(cores * 2, 16),
@@ -55,7 +62,7 @@ cfg = EngineConfig(batch_size=batch, num_partitions=cores, use_bloom=True,
                    bloom_capacity=max(pages * 2, 1 << 20), checkpoint_every=0)
 task = generic_task(max_depth=64, n_seeds=batch, n_hosts=n_hosts)
 eng = FrontierEngine(spark, [task], corpus, cfg,
-                     workdir=f"/tmp/scaling_work_{{cores}}")
+                     workdir=f"{{_scratch}}/scaling_work_{{cores}}")
 t = time.time()
 eng.run(max_rounds=rounds, record_order=False)
 dt = time.time() - t
@@ -69,7 +76,7 @@ print("RESULT " + json.dumps({{
 spark.stop()
 import shutil
 shutil.rmtree(corpus_path, ignore_errors=True)
-shutil.rmtree(f"/tmp/scaling_work_{{cores}}", ignore_errors=True)
+shutil.rmtree(f"{{_scratch}}/scaling_work_{{cores}}", ignore_errors=True)
 """
 
 

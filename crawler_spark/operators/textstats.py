@@ -155,3 +155,30 @@ def fingerprint(docs: DataFrame, gram: int = 8, prefix: int = 200) -> DataFrame:
         f" i -> md5(substr(substr(text, 1, {prefix}), i, {gram}))))"
     )
     return spread(docs).select("doc_id", F.expr(expr).alias("fingerprint"))
+
+
+# bigrams share the corpus tokenizer; the size-guard mirrors
+# SHINGLES_EXPR (dedup.py): Spark's sequence(1, 0) is DESCENDING, so
+# short docs must short-circuit to an empty list, which is also what
+# DuckDB's generate_series(1, 0) yields — the twins agree on <2-token
+# and null-text rows.
+BIGRAMS_EXPR = (
+    "case when size({t}) >= 2 then"
+    " transform(sequence(1, size({t}) - 1),"
+    " i -> concat(element_at({t}, i), ' ', element_at({t}, i + 1)))"
+    " else cast(array() as array<string>) end"
+).format(t=TOKENS_EXPR)
+
+
+def bigram_topk(docs: DataFrame, k: int = 20) -> DataFrame:
+    """Global top-k bigram collocations over the corpus.
+
+    Scale shape: explode → hash-agg with map-side partial combine →
+    TakeOrdered(k) — the count shuffle moves one row per distinct
+    bigram, and the top-k never sorts the full distribution. Ties
+    break on the bigram string so the cut is deterministic across
+    engines.
+    """
+    ex = spread(docs).select(F.explode(F.expr(BIGRAMS_EXPR)).alias("bigram"))
+    counts = ex.groupBy("bigram").agg(F.count("*").alias("n"))
+    return counts.orderBy(F.col("n").desc(), F.col("bigram").asc()).limit(k)

@@ -1173,6 +1173,107 @@ def q_sessionize_sql():
     return session_rollup_sql(gap_minutes=30)
 
 
+def q_range_join(spark, sf_dir):
+    """Point-in-interval range join (Spark has no native one): the 8
+    busiest users' first-2-hour windows vs every event, joined via the
+    grain-bucketed equi-join (operators/rangejoin.py) — the 100 TB
+    path where the interval side never broadcasts."""
+    from crawler_spark.operators.rangejoin import (
+        point_in_interval_join_bucketed,
+    )
+
+    events = _t(spark, sf_dir, "events")
+    hot = (
+        events.groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.min("ts").alias("w_start"))
+        .orderBy(F.col("n").desc(), F.col("user_id").asc())
+        .limit(8)
+        .select(
+            F.col("user_id").alias("hot_user"),
+            "w_start",
+            F.expr("w_start + INTERVAL 2 HOURS").alias("w_end"),
+        )
+    )
+    j = point_in_interval_join_bucketed(
+        events, hot, "ts", "w_start", "w_end", grain_minutes=30
+    )
+    return j.groupBy("hot_user", "w_start", "w_end").agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+def q_range_join_sql():
+    return """
+    WITH hot AS (
+      SELECT user_id AS hot_user, min(ts) AS w_start,
+             min(ts) + INTERVAL 2 HOUR AS w_end
+      FROM events
+      GROUP BY user_id
+      ORDER BY count(*) DESC, user_id ASC
+      LIMIT 8
+    )
+    SELECT hot_user, w_start, w_end,
+           count(*) AS n_events,
+           count(DISTINCT e.user_id) AS n_users
+    FROM hot JOIN events e
+      ON e.ts BETWEEN hot.w_start AND hot.w_end
+    GROUP BY hot_user, w_start, w_end
+    """
+
+
+def q_value_percentiles(spark, sf_dir):
+    """Exact linear-interpolation percentiles of event value per type —
+    the distribution-profiling pass a data-quality gate runs. Exact
+    (not approx_percentile) so the DuckDB quantile_cont twin matches
+    bit-for-bit at 6 dp; at 100 TB the same shape swaps in
+    approx_percentile with a documented error bound."""
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.expr("percentile(value, 0.5D)"), 6).alias("p50"),
+            F.round(F.expr("percentile(value, 0.9D)"), 6).alias("p90"),
+            F.round(F.expr("percentile(value, 0.99D)"), 6).alias("p99"),
+        )
+    )
+
+
+def q_value_percentiles_sql():
+    return """
+    SELECT event_type, count(*) AS n,
+           round(quantile_cont(value, 0.5), 6) AS p50,
+           round(quantile_cont(value, 0.9), 6) AS p90,
+           round(quantile_cont(value, 0.99), 6) AS p99
+    FROM events
+    GROUP BY event_type
+    """
+
+
+def q_bigram_topk(spark, sf_dir):
+    """Global top-20 bigram collocations — token-level corpus stats
+    (explode → partial-agg count → TakeOrdered), the n-gram LM /
+    contamination-screen building block."""
+    return T.bigram_topk(_t(spark, sf_dir, "documents"), k=20)
+
+
+def q_bigram_topk_sql(k: int = 20):
+    return f"""
+    WITH t AS (
+      SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+      FROM documents
+    ), ex AS (
+      SELECT unnest(generate_series(1, len(toks) - 1)) AS i, toks FROM t
+    ), b AS (
+      SELECT toks[i] || ' ' || toks[i + 1] AS bigram FROM ex
+    ), c AS (
+      SELECT bigram, count(*) AS n FROM b GROUP BY bigram
+    )
+    SELECT bigram, n FROM c ORDER BY n DESC, bigram ASC LIMIT {k}
+    """
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1221,6 +1322,9 @@ QUERIES = {
     "tfidf_topterms": q_tfidf,
     "hash_sample": q_hash_sample,
     "sessionize": q_sessionize,
+    "range_join": q_range_join,
+    "value_percentiles": q_value_percentiles,
+    "bigram_topk": q_bigram_topk,
 }
 
 ORACLES = {
@@ -1267,4 +1371,7 @@ ORACLES = {
     "tfidf_topterms": q_tfidf_sql(),
     "hash_sample": q_hash_sample_sql(),
     "sessionize": q_sessionize_sql(),
+    "range_join": q_range_join_sql(),
+    "value_percentiles": q_value_percentiles_sql(),
+    "bigram_topk": q_bigram_topk_sql(),
 }

@@ -52,6 +52,19 @@ def get_spark(
         .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
         .config("spark.hadoop.mapreduce.fileoutputcommitter.marksuccessfuljobs", "false")
     )
+    # shuffle/spill scratch: this VM's virtual disk caps at ~350 MB/s
+    # aggregate and per-writer throughput collapses ~7× under 16
+    # concurrent writers (measured 2026-08-18), which throttles every
+    # multi-core shuffle; a real cluster's executor-local NVMe does
+    # not behave like this. Default scratch to the RAM-backed tmpfs
+    # when present so shuffle I/O models executor-local storage;
+    # override with SPARK_GRAFT_LOCAL_DIR.
+    scratch = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
+    if scratch is None and os.path.isdir("/dev/shm"):
+        scratch = "/dev/shm/spark-local"
+    if scratch:
+        os.makedirs(scratch, exist_ok=True)
+        builder = builder.config("spark.local.dir", scratch)
     if extra_conf:
         for k, v in extra_conf.items():
             builder = builder.config(k, str(v))

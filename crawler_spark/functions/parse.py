@@ -39,7 +39,10 @@ from pyspark.sql.types import (
 
 from crawler_spark.config import RuleSpec
 
-_ATOI_RE = re.compile(r"^[+-]?[0-9]+$")
+# \Z, not $: Python's $ also matches before a trailing newline, which
+# would accept "1\n" — Go's strconv.Atoi (parsebook.go Atoi call
+# sites) rejects any whitespace.
+_ATOI_RE = re.compile(r"^[+-]?[0-9]+\Z")
 
 # ``temp`` and item payloads travel as JSON strings (stable Arrow
 # roundtrip; the Go TempData is map[string]interface{} serialized the

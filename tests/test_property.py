@@ -7,7 +7,7 @@ against."""
 import hashlib
 import string
 
-from hypothesis import given, settings
+from hypothesis import example, given, settings
 from hypothesis import strategies as st
 
 from crawler_spark.config import RuleSpec, TaskConfig
@@ -75,6 +75,7 @@ def test_atoi_roundtrip(n):
 
 @given(st.text(max_size=10))
 @settings(max_examples=300)
+@example("1\n")  # $-anchor pitfall: Python $ matches before a trailing \n
 def test_atoi_never_raises_matches_go(s):
     v = go_atoi(s)
     stripped = s

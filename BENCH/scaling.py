@@ -239,11 +239,37 @@ def main():
     eff = round((r32["urls_per_sec"] / r8["urls_per_sec"]) / 4.0, 3)
     speedup = round(r32["urls_per_sec"] / r8["urls_per_sec"], 2)
 
+    # steady-state view: round 1 carries the per-JVM one-time costs
+    # (JIT warmup, first corpus scan, bloom build) that a long crawl
+    # amortizes to zero; both a real cluster job and this sandbox pay
+    # them once per executor JVM, and they are constant while the work
+    # scales with cores — so they bias the fast leg's measured
+    # throughput DOWN. Reported alongside (never instead of) the
+    # whole-job headline.
+    def _steady(r):
+        ph = r["phases"]
+        if len(ph) < 2:
+            return None
+        secs = sum(
+            m["t_select"] + m["t_fetch_parse"] + m.get("t_seen", 0)
+            + m.get("t_ledgers", 0) + m["t_frontier"]
+            for m in ph[1:]
+        )
+        urls = sum(m["batch"] for m in ph[1:])
+        return round(urls / secs, 1) if secs > 0 else None
+
+    s8, s32 = _steady(r8), _steady(r32)
+    steady_eff = (
+        round((s32 / s8) / 4.0, 3) if s8 and s32 else None
+    )
+
     hist = _append_history({
         "ts": time.strftime("%Y-%m-%d %H:%M:%S"),
         "pages": pages, "batch": batch, "rounds": rounds,
         "legs": {str(k): v for k, v in results.items()},
         "efficiency": eff, "speedup": speedup,
+        "steady_urls_per_sec": {str(CORES_N): s8, str(CORES_4N): s32},
+        "steady_efficiency": steady_eff,
     })
     stats = _cross_run_stats(hist)
 
@@ -255,7 +281,8 @@ def main():
         with open(prev_path) as f:
             prev = json.load(f)
         if prev.get("efficiency", 0) >= eff:
-            print(f"efficiency={eff} speedup={speedup} — run archived; "
+            print(f"efficiency={eff} speedup={speedup} "
+                  f"steady_eff={steady_eff} — run archived; "
                   f"headline stays at stored best {prev['efficiency']} "
                   "(set SCALING_FORCE=1 to overwrite)")
             _write_history_section(stats, hist)
@@ -293,6 +320,8 @@ executor node, which a single box cannot emulate.
 
 - speedup {CORES_N}→{CORES_4N} cores (4× resources): **{speedup}×**
 - scaling efficiency = (thpt_4N/thpt_N)/4 = **{eff}** (target ≥ 0.8)
+- steady-state (rounds ≥ 2, per-JVM warmup excluded): local[{CORES_N}]
+  {s8} urls/s, local[{CORES_4N}] {s32} urls/s → efficiency **{steady_eff}**
 
 ## Reference comparison
 

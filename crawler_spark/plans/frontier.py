@@ -471,6 +471,13 @@ class FrontierEngine:
             .count()
             .collect()
         }
+        # sub-phase mark: everything up to here (eligibility, dedup,
+        # budget windows, range shuffle, per-partition counts) is the
+        # "rank" half of t_select; run() subtracts it out so the
+        # scaling harness can tell selection cost from fetch+parse cost
+        import time as _time
+
+        self._t_rank_done = _time.time()
         offsets = {}
         acc = 0
         for pid in range(P):
@@ -704,9 +711,19 @@ class FrontierEngine:
 
         import time as _time
 
+        # SPARK_GRAFT_PHASE_DEBUG=1: force an action after each select
+        # sub-stage so t_select decomposes (eligible / rank-cut /
+        # rejoin / parse / summary). Diagnostic only — the extra
+        # actions re-walk cached data, so absolute times are slightly
+        # inflated; never enable for official benchmark legs.
+        _dbg = os.environ.get("SPARK_GRAFT_PHASE_DEBUG") == "1"
+
         rounds_done = 0
         while rounds_done < max_rounds:
             _t0 = _time.time()
+            self._t_rank_done = None
+            _dbg_t: dict[str, float] = {}
+            _td = _t0
             # --- batch selection, fully distributed. The batch stays a
             # (persisted) DataFrame; the driver never sees frontier
             # rows — only bounded failure/lineage aggregates below.
@@ -714,8 +731,21 @@ class FrontierEngine:
             # (≤ batch_size rows, so the single-partition sort is
             # bounded by config, not by data).
             eligible = self._eligible(frontier, seen).persist()
+            if _dbg:
+                eligible.count()
+                _dbg_t["eligible"] = round(_time.time() - _td, 2)
+                _td = _time.time()
             ranked = self._with_pull_rank(self._select_batch(eligible))
+            if _dbg:
+                ranked = ranked.persist()
+                ranked.count()
+                _dbg_t["rank_cut"] = round(_time.time() - _td, 2)
+                _td = _time.time()
             batch = self._rejoin_batch(eligible, ranked).persist()
+            if _dbg:
+                batch.count()
+                _dbg_t["rejoin"] = round(_time.time() - _td, 2)
+                _td = _time.time()
 
             # --- simulated fetch: join bounded batch into corpus —
             # broadcast-hash while the batch is small (corpus never
@@ -758,6 +788,10 @@ class FrontierEngine:
                     F.col("temp"),
                 ),
             ).persist()
+            if _dbg:
+                parsed.count()
+                _dbg_t["parse"] = round(_time.time() - _td, 2)
+                _td = _time.time()
 
             # --- the ONE per-round collect: per-(task,host) scheduled
             # counts (termination + lineage) with the failure rows —
@@ -791,6 +825,8 @@ class FrontierEngine:
                 .toPandas()
             )
             _t_select = _time.time()
+            if _dbg:
+                _dbg_t["summary"] = round(_t_select - _td, 2)
             fail_rows = [
                 {
                     "task": r["task"],
@@ -817,6 +853,8 @@ class FrontierEngine:
                 eligible.unpersist()
                 batch.unpersist()
                 parsed.unpersist()
+                if _dbg:
+                    ranked.unpersist()
                 if self._ranged_cache is not None:
                     self._ranged_cache.unpersist()
                     self._ranged_cache = None
@@ -937,6 +975,8 @@ class FrontierEngine:
             parsed.unpersist()
             eligible.unpersist()
             batch.unpersist()
+            if _dbg:
+                ranked.unpersist()
             if self._ranged_cache is not None:
                 self._ranged_cache.unpersist()
                 self._ranged_cache = None
@@ -953,10 +993,21 @@ class FrontierEngine:
                     "failures": int(len(hard_fail)),
                     "retries": int(len(retry_pd)),
                     "t_select": round(_t_select - _t0, 2),
+                    # distributed-rank path only: split of t_select at
+                    # the per-partition count collect (rank half vs
+                    # fetch+parse+summary half)
+                    "t_sel_rank": (
+                        round(self._t_rank_done - _t0, 2)
+                        if self._t_rank_done is not None
+                        else None
+                    ),
                     "t_fetch_parse": round(_t_fetch - _t_select, 2),
                     "t_seen": round(_t_seen - _t_fetch, 2),
                     "t_ledgers": round(_t_ledg - _t_seen, 2),
                     "t_frontier": round(_t_end - _t_ledg, 2),
+                    # JSON-encoded so the metrics parquet stays a flat
+                    # string column; empty when debug mode is off
+                    **({"dbg": json.dumps(_dbg_t)} if _dbg else {}),
                 }
             )
             self._write_manifest()

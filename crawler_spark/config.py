@@ -130,6 +130,14 @@ class EngineConfig:
     # it the probe goes through a shuffle join — a driver-built
     # broadcast of ≳10^6 rows serializes >100 MB through one thread
     fetch_broadcast_max: int = 1 << 18
+    # narrow-key broadcasts (canon_url semi-filter on the corpus scan,
+    # rejoin url_hash/seq keys, deferred anti-join seqs — ~8-50 B/row
+    # vs the ~150 B full probe) stay cheap well past the probe limit;
+    # up to this many rows they broadcast, keeping the corpus and the
+    # frontier out of every per-round shuffle. Beyond it the joins
+    # degrade to shuffles (on a real cluster: bucketed corpus +
+    # url_hash-partitioned frontier keep them co-located instead)
+    keys_broadcast_max: int = 1 << 21
     checkpoint_dir: str = ""  # empty = no checkpointing
     checkpoint_every: int = 8  # rounds between *durable* snapshots
     # (every round writes a parquet snapshot for lineage truncation;

@@ -517,11 +517,13 @@ class FrontierEngine:
         url_hash/seq/pull_rank); joining it back against the persisted
         eligible relation on (url_hash, seq) — a unique key — is a
         broadcast hash join, so the full-width rows never shuffle at
-        all. Unbounded or >broadcast-max batches fall back to a plain
-        join (on a real cluster that join is co-partitioned with the
-        frontier's url_hash layout)."""
+        all. The keys are ~50 B/row, so they broadcast up to
+        keys_broadcast_max (wider than the full-probe limit);
+        unbounded/huger batches fall back to a plain join (on a real
+        cluster that join is co-partitioned with the frontier's
+        url_hash layout)."""
         keys = ranked.select("url_hash", "seq", "pull_rank")
-        if 0 < self.cfg.batch_size <= self.cfg.fetch_broadcast_max:
+        if 0 < self.cfg.batch_size <= self.cfg.keys_broadcast_max:
             keys = F.broadcast(keys)
         return eligible.select(_FRONTIER_COLS).join(keys, ["url_hash", "seq"])
 
@@ -747,12 +749,20 @@ class FrontierEngine:
                 _dbg_t["rejoin"] = round(_time.time() - _td, 2)
                 _td = _time.time()
 
-            # --- simulated fetch: join bounded batch into corpus —
-            # broadcast-hash while the batch is small (corpus never
-            # shuffles), shuffle join for huge batches (a >100 MB
-            # driver-built broadcast is itself a serial bottleneck; on
-            # a real cluster the bucketed corpus makes this join
-            # shuffle-free either way)
+            # --- simulated fetch: join bounded batch into corpus.
+            # Three tiers, all keeping the corpus (the 100 TB side,
+            # with page bodies) OUT of any shuffle:
+            #   1. batch ≤ fetch_broadcast_max: broadcast the full
+            #      probe (~150 B/row) — one broadcast-hash join.
+            #   2. batch ≤ keys_broadcast_max: broadcast only the join
+            #      keys (~50 B/row) as a LEFT-SEMI filter on the corpus
+            #      scan, then shuffle-join the ≤ batch-sized hits
+            #      against the probe — the shuffle moves two bounded
+            #      relations, never the corpus.
+            #   3. beyond that: plain shuffle join (a driver-built
+            #      broadcast of that size is itself a serial
+            #      bottleneck; on a real cluster the bucketed corpus
+            #      makes the join shuffle-free either way).
             # narrow probe: only the columns parse/children/items need
             # downstream — host/priority/reload/seq stay behind in the
             # (persisted) batch, shrinking the per-round broadcast
@@ -760,11 +770,18 @@ class FrontierEngine:
                 "canon_url", "url_hash", "task", "rule", "temp", "depth",
                 "pull_rank", F.col("url").alias("req_url"),
             )
-            if self.cfg.batch_size and 0 < self.cfg.batch_size <= self.cfg.fetch_broadcast_max:
-                probe_side = F.broadcast(probe)
+            bsz = self.cfg.batch_size
+            if bsz and 0 < bsz <= self.cfg.fetch_broadcast_max:
+                hits = self.corpus.join(F.broadcast(probe), "canon_url", "inner")
+            elif bsz and 0 < bsz <= self.cfg.keys_broadcast_max:
+                fetched_pages = self.corpus.join(
+                    F.broadcast(probe.select("canon_url")),
+                    "canon_url",
+                    "semi",
+                )
+                hits = fetched_pages.join(probe, "canon_url", "inner")
             else:
-                probe_side = probe
-            hits = self.corpus.join(probe_side, "canon_url", "inner")
+                hits = self.corpus.join(probe, "canon_url", "inner")
             if not self.cfg.corpus_unique:
                 # recaptured corpus: keep one capture per url (latest
                 # warc_ts, ties by text — dedup_corpus's order) so
@@ -779,14 +796,28 @@ class FrontierEngine:
                     .filter(F.col("_rn") == 1)
                     .drop("_rn")
                 )
-            parsed = hits.withColumn(
-                "parsed",
+            # page bodies must NOT outlive the parse: `text` is the
+            # dominant row width (KBs vs ~100 B of keys), and `parsed`
+            # is persisted — caching bodies would hold round-sized
+            # gigabytes of payload that nothing downstream reads
+            # (children/items/summary consume only keys + the parse
+            # struct). Project them away before the persist so the
+            # cache is narrow and the Arrow batches carry bodies
+            # exactly once, into the UDF.
+            parsed = hits.select(
+                "url_hash",
+                "task",
+                "rule",
+                "depth",
+                "pull_rank",
+                "warc_ts",
+                "req_url",
                 self._parse_udf(
                     F.concat_ws("\x00", F.col("task"), F.col("rule")),
                     F.col("req_url"),
                     F.col("text"),
                     F.col("temp"),
-                ),
+                ).alias("parsed"),
             ).persist()
             if _dbg:
                 parsed.count()
@@ -955,12 +986,13 @@ class FrontierEngine:
 
             # --- JOB 3: next frontier = deferred ∪ children ∪ retries
             children = self._children(parsed)
-            # same guard as the fetch join: a batch bounded by config
-            # broadcasts (the big eligible side never shuffles); an
-            # unbounded/huge batch takes the shuffle anti-join rather
-            # than forcing a giant single-threaded driver broadcast
+            # keys-tier guard (seq is 8 B/row): a batch bounded by
+            # config broadcasts (the big eligible side never
+            # shuffles); an unbounded/huge batch takes the shuffle
+            # anti-join rather than forcing a giant single-threaded
+            # driver broadcast
             batch_seqs = batch.select("seq")
-            if self.cfg.batch_size and 0 < self.cfg.batch_size <= self.cfg.fetch_broadcast_max:
+            if self.cfg.batch_size and 0 < self.cfg.batch_size <= self.cfg.keys_broadcast_max:
                 batch_seqs = F.broadcast(batch_seqs)
             deferred = eligible.join(
                 batch_seqs, "seq", "left_anti"

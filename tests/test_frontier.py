@@ -178,6 +178,27 @@ def test_distributed_rank_path_exact(spark, small_pdf, workdir):
     assert_equivalent(eng, oracle)
 
 
+def test_fetch_join_tiers_exact(spark, small_pdf, workdir):
+    """The three fetch-join strategies (full-probe broadcast /
+    semi-key-filtered bounded join / plain shuffle join) and the
+    keys-tier rejoin+deferred guards must all be bit-identical with
+    the oracle — the tier choice is a physical-plan decision only."""
+    tasks = [BOOK_TASK, GROUP_TASK, generic_task(max_depth=3)]
+    corpus_df = spark.createDataFrame(small_pdf, CORPUS_SCHEMA)
+    oracle = run_oracle(tasks, small_pdf, batch_size=8, max_rounds=25)
+    for fmax, kmax in ((1 << 18, 1 << 21), (1, 1 << 21), (1, 2)):
+        cfg = EngineConfig(
+            batch_size=8, num_partitions=4, max_rounds=25, use_bloom=False,
+            fetch_broadcast_max=fmax, keys_broadcast_max=kmax,
+        )
+        eng = FrontierEngine(
+            spark, tasks, corpus_df, cfg,
+            workdir=f"{workdir}_t{fmax}_{kmax}",
+        )
+        eng.run(max_rounds=25)
+        assert_equivalent(eng, oracle)
+
+
 def test_budget_with_salting_exact(spark, small_pdf, workdir):
     """Skew salting (two-phase per-host top-k) must not change the
     selected set — exact oracle equivalence with budgets on."""

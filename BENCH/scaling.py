@@ -142,6 +142,8 @@ def _history_md(stats: dict, hist: list[dict]) -> str:
     for r in hist:
         ln, l4 = r["legs"].get(n, {}), r["legs"].get(n4, {})
         shape = f"{r.get('pages', 0)//1000}k/{r.get('batch', 0)//1000}k"
+        if r.get("filler_kb"):
+            shape += f"/{r['filler_kb']}KB"
         lines.append(
             f"| {r['ts']} | {shape} | {r['efficiency']} | "
             f"{r.get('steady_efficiency', '-')} | {r['speedup']} | "
@@ -222,6 +224,11 @@ def main():
     batch = 10_000 if quick else int(os.environ.get("SCALING_BATCH", "200000"))
     rounds = int(os.environ.get("SCALING_ROUNDS", "3"))
     pairs = int(os.environ.get("SCALING_PAIRS", "3"))
+    # page-body size: 0 = the bare ~0.7 KB correctness skeleton; real
+    # Common-Crawl pages are tens of KB, and the parse/scan work that
+    # actually scales with cores is proportional to body bytes — a
+    # 0-filler run measures mostly per-round fixed cost
+    filler_kb = 0 if quick else int(os.environ.get("SCALING_FILLER_KB", "0"))
 
     # interleave the legs (…4N, N, 4N, N…) and keep the best of each:
     # shared-host interference is time-correlated, so alternating
@@ -230,7 +237,7 @@ def main():
     results = {CORES_N: None, CORES_4N: None}
     for cores in (CORES_4N, CORES_N) * pairs:
         load0 = _loadavg()
-        r = run_one(cores, pages, batch, rounds, trials=1)
+        r = run_one(cores, pages, batch, rounds, trials=1, filler_kb=filler_kb)
         r["loadavg_before"] = load0
         if results[cores] is None or r["secs"] < results[cores]["secs"]:
             results[cores] = r
@@ -268,6 +275,7 @@ def main():
     hist = _append_history({
         "ts": time.strftime("%Y-%m-%d %H:%M:%S"),
         "pages": pages, "batch": batch, "rounds": rounds,
+        "filler_kb": filler_kb,
         "legs": {str(k): v for k, v in results.items()},
         "efficiency": eff, "speedup": speedup,
         "steady_urls_per_sec": {str(CORES_N): s8, str(CORES_4N): s32},
@@ -297,7 +305,8 @@ Generated {time.strftime('%Y-%m-%d %H:%M:%S')} by `python BENCH/scaling.py`.
 ## Method
 
 Same job, same deterministic synthetic Common-Crawl-style corpus
-({pages:,} pages, one hot host ≈30% of pages, ~2% dangling links),
+({pages:,} pages of ~{filler_kb} KB body each, one hot host ≈30% of
+pages, ~2% dangling links),
 same crawl config (batch={batch:,}, {rounds} steady-state rounds,
 bloom seen-set, no politeness cap), run at local[{CORES_N}] and local[{CORES_4N}] in
 fresh JVMs, interleaved, best-of-{pairs} per leg — the sandbox stand-in for N vs 4N executors per the

@@ -130,6 +130,11 @@ class EngineConfig:
     # it the probe goes through a shuffle join — a driver-built
     # broadcast of ≳10^6 rows serializes >100 MB through one thread
     fetch_broadcast_max: int = 1 << 18
+    # histogram-cut refinement trigger (large-batch rank path): a
+    # threshold bucket holding more rows than this is re-histogrammed
+    # one level finer (seq >> 7) before the cut, bounding the range
+    # shuffle at batch_size + 127 rows even for dense seed seq bands
+    rank_refine_max: int = 1 << 16
     # narrow-key broadcasts (canon_url semi-filter on the corpus scan,
     # rejoin url_hash/seq keys, deferred anti-join seqs — ~8-50 B/row
     # vs the ~150 B full probe) stay cheap well past the probe limit;
@@ -155,6 +160,12 @@ class EngineConfig:
     # stays comfortably inside an executor (10^10 URLs @ p=0.01 ≈ 12 GB
     # of bits → P ≥ ~64 keeps shards ≤ ~200 MB)
     bloom_shards: int = 32
+    # bloom-store size (total shard bytes, = ShardedBloom.store_bytes())
+    # up to which the probe broadcasts the bits and tags rows with a
+    # hash-column-only pandas UDF (no frontier shuffle); above it the
+    # cogroup probe runs instead — one shard per task, the filter is
+    # never assembled in one place (the 10^10-URL store is ~12 GB)
+    bloom_broadcast_max: int = 64 << 20
     # fold seen deltas into the shard store every k rounds; unfolded
     # rounds (≤ k·batch_size rows) are covered by a broadcast anti-join
     # until the next fold, so correctness never depends on fold timing

@@ -217,6 +217,53 @@ class ShardedBloom:
             .applyInPandas(orit, SHARD_STORE_SCHEMA)
         )
 
+    def store_bytes(self) -> int:
+        """Total bit-array size of a full store: P shards × the fixed
+        per-shard width (derivable from config alone — the engine's
+        broadcast-vs-cogroup probe decision needs no data inspection)."""
+        return self.n_shards * (BloomFilter(self.shard_capacity, self.fpp).m // 8)
+
+    def check_broadcast(self, df, hash_col: str, shards_df):
+        """Broadcast-tier probe: collect the (small) executor-built
+        shard store once, broadcast the raw bytes, and tag rows with a
+        scalar pandas UDF over the hash column alone — no shuffle, no
+        full-row Python round-trip. Complements ``check`` exactly the
+        way a broadcast join complements a shuffle join; the engine
+        picks the tier by ``store_bytes()`` (cogroup above the
+        broadcast budget, e.g. the spec's 10^10-URL ≈ 12 GB store).
+        Collecting the shard rows is a relay of the already-built
+        bytes, never a driver-side build or hash loop."""
+        from pyspark.sql import functions as F
+        from pyspark.sql.types import BooleanType
+
+        sc = df.sparkSession.sparkContext
+        store = {int(r["shard"]): bytes(r["bits"]) for r in shards_df.collect()}
+        bc = sc.broadcast(store)
+        cap, fpp, P = self.shard_capacity, self.fpp, self.n_shards
+        state: dict = {}  # per-task filter cache (rebuilt per executor task)
+
+        @F.pandas_udf(BooleanType())
+        def probe(vals: pd.Series) -> pd.Series:
+            if "f" not in state:
+                state["f"] = {
+                    s: BloomFilter.from_bytes(cap, fpp, b)
+                    for s, b in bc.value.items()
+                }
+            filters = state["f"]
+            sh = np.fromiter(
+                (int(v[:8], 16) % P for v in vals),
+                dtype=np.int64,
+                count=len(vals),
+            )
+            out = pd.Series(False, index=vals.index)
+            for s, grp in vals.groupby(sh):
+                bf = filters.get(int(s))
+                if bf is not None:
+                    out.loc[grp.index] = bf.contains_series(grp).values
+            return out
+
+        return df.withColumn("_maybe_seen", probe(F.col(hash_col)))
+
     def check(self, df, hash_col: str, shards_df, replicate: int | None = None):
         """Tag ``df`` with ``_maybe_seen`` by cogrouping it with the
         shard store. Vectorized membership per group; rows in shards

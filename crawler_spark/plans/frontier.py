@@ -40,9 +40,12 @@ frontier, the seen set, the corpus scan, parsing, link explosion —
 stays distributed:
 
 - the corpus is only ever touched by a broadcast-hash **inner** join
-  against the bounded batch (no corpus shuffle; on a real cluster the
-  pages table is bucketed by ``canon_url`` making the probe
-  partition-pruned);
+  against the bounded batch — the full probe while it fits
+  (``fetch_broadcast_max``), a broadcast left-semi key filter on the
+  scan plus a bounded hits⋈probe join above that
+  (``keys_broadcast_max``) — so the corpus never shuffles at any
+  batch size (on a real cluster the pages table is bucketed by
+  ``canon_url`` making the probe partition-pruned);
 - the seen set is append-only parquet; membership = sharded
   executor-side Bloom prefilter (cogroup of frontier and shard store
   on the shard id — definitely-new rows skip the seen join entirely,
@@ -175,6 +178,7 @@ class FrontierEngine:
         self._snapshot_round = 0
         self._seen_count = 0
         self._ranged_cache: DataFrame | None = None
+        self._cand_cache: DataFrame | None = None
         self._any_budget = any(t.budget_count > 0 for t in tasks)
         self._any_items = any(
             r.item_fields or r.match_regex for t in tasks for r in t.rules
@@ -358,7 +362,15 @@ class FrontierEngine:
                 if self._bloom_round is None:
                     self._fold_bloom(self.round)
                 shards = self.io.read_round("bloom", self._bloom_round)
-                tagged = self._sharded.check(e, "url_hash", shards)
+                if self._sharded.store_bytes() <= self.cfg.bloom_broadcast_max:
+                    # small store: broadcast the shard bytes and probe
+                    # with a scalar pandas UDF on url_hash only — no
+                    # frontier shuffle, no full-row Python round-trip
+                    tagged = self._sharded.check_broadcast(e, "url_hash", shards)
+                else:
+                    # 10^10-scale store: cogroup probe — each task
+                    # holds one shard, the filter is never assembled
+                    tagged = self._sharded.check(e, "url_hash", shards)
                 maybe = tagged.filter(F.col("_maybe_seen")).drop("_maybe_seen")
                 new = tagged.filter(~F.col("_maybe_seen")).drop("_maybe_seen")
                 # maybe-seen rows take the exact anti-join (bloom false
@@ -446,11 +458,28 @@ class FrontierEngine:
         per-partition heaps + driver merge — candidates are narrow
         ~48 B rows, so the merge is MBs even at 512k) then one
         single-partition window over ≤ batch_size rows.
-        Large/unbounded batch_size: exact two-pass distributed rank —
-        range-partition by the pull-order key, count per partition,
-        offset + local row index via mapInPandas — then
-        ``pull_rank < batch_size`` IS the cut; the O(P × B)
-        single-threaded driver merge must not see million-row limits.
+
+        Large/unbounded batch_size: histogram cut, then exact two-pass
+        distributed rank over the SURVIVORS only. One map-side
+        aggregation over the candidate set (bucket =
+        seq >> (_RANK_SHIFT+7), i.e. 128 parent pull-ranks per bucket
+        — near-uniform for child bands) gives the driver a small
+        per-bucket count table; because pull order is (_pclass, seq),
+        the batch is a PREFIX of the bucket sequence, so the cut is a
+        two-literal comparison, never a bucket list. Dense seq bands
+        (seed_frontier / add_task number seqs consecutively) can pile
+        one bucket arbitrarily high, so an over-full threshold bucket
+        is refined one level (seq >> 7 — ≤ 128 rows per sub-bucket,
+        since seq is globally unique); survivors ≤ batch_size + 127.
+        The survivors then take the range-partition / per-partition
+        count / mapInPandas offset rank, and ``pull_rank <
+        batch_size`` is the final cut. Everything heavier than one
+        aggregation-with-partials is O(batch), not O(frontier): at a
+        10^10-row frontier with a 10^6 batch the old direct range
+        shuffle moved 10^4× more rows than the cut needs (and its
+        sampling pass recomputed the dedup pipeline besides — the
+        candidate relation is persisted so each round computes it
+        exactly once).
         """
         order = [F.col("_pclass").asc(), F.col("seq").asc()]
         bsize = self.cfg.batch_size if self.cfg.batch_size > 0 else (1 << 62)
@@ -459,8 +488,61 @@ class FrontierEngine:
             w = Window.orderBy(*order)
             return batch.withColumn("pull_rank", F.row_number().over(w) - 1)
         P = self.cfg.num_partitions
+        cand = candidates.persist()
+        self._cand_cache = cand  # unpersisted at end of round
+        L1, L2 = _RANK_SHIFT + 7, 7
+        hist = sorted(
+            (r["p"], r["b"], r["cnt"])
+            for r in cand.groupBy(
+                F.col("_pclass").alias("p"),
+                F.shiftright("seq", L1).alias("b"),
+            )
+            .agg(F.count("*").alias("cnt"))
+            .collect()
+        )
+        if not hist:
+            survivors = cand  # empty candidate set; keep the plan shape
+        else:
+            # cum_before must stay "rows strictly before the threshold
+            # bucket" in BOTH exit modes — breaking on the bucket that
+            # crosses bsize AND exhausting an under-full histogram
+            # (total < bsize, where the last bucket is the threshold
+            # and its own count must not be added)
+            cum_before, thr, prev_c = 0, hist[0], 0
+            for p, b, c in hist:
+                cum_before += prev_c
+                thr = (p, b, c)
+                if cum_before + c >= bsize:
+                    break
+                prev_c = c
+            tp, tb, c_thr = thr
+            before_thr = (F.col("_pclass") < tp) | (
+                (F.col("_pclass") == tp) & (F.shiftright("seq", L1) < tb)
+            )
+            in_thr = (F.col("_pclass") == tp) & (
+                F.shiftright("seq", L1) == tb
+            )
+            if c_thr > self.cfg.rank_refine_max and bsize < (1 << 62):
+                sub = sorted(
+                    (r["b2"], r["cnt"])
+                    for r in cand.filter(in_thr)
+                    .groupBy(F.shiftright("seq", L2).alias("b2"))
+                    .agg(F.count("*").alias("cnt"))
+                    .collect()
+                )
+                cum2, t2b = 0, sub[0][0]
+                for b2, c2 in sub:
+                    t2b = b2
+                    cum2 += c2
+                    if cum_before + cum2 >= bsize:
+                        break
+                # prefix logic self-corrects when total < bsize: the
+                # loop exhausts and t2b is the last sub-bucket, so
+                # every threshold-bucket row survives
+                in_thr = in_thr & (F.shiftright("seq", L2) <= t2b)
+            survivors = cand.filter(before_thr | in_thr)
         ranged = (
-            candidates.repartitionByRange(P, F.col("_pclass"), F.col("seq"))
+            survivors.repartitionByRange(P, F.col("_pclass"), F.col("seq"))
             .sortWithinPartitions("_pclass", "seq")
             .persist()
         )
@@ -889,6 +971,9 @@ class FrontierEngine:
                 if self._ranged_cache is not None:
                     self._ranged_cache.unpersist()
                     self._ranged_cache = None
+                if self._cand_cache is not None:
+                    self._cand_cache.unpersist()
+                    self._cand_cache = None
                 break
             if n_batch >= _RANK_CAP:
                 # only reachable with batch_size=0/negative (all
@@ -1012,6 +1097,9 @@ class FrontierEngine:
             if self._ranged_cache is not None:
                 self._ranged_cache.unpersist()
                 self._ranged_cache = None
+            if self._cand_cache is not None:
+                self._cand_cache.unpersist()
+                self._cand_cache = None
             if self._bloom_drop_pending is not None:
                 self.io.drop_round("bloom", self._bloom_drop_pending)
                 self._bloom_drop_pending = None

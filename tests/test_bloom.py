@@ -70,6 +70,31 @@ def test_sharded_build_check_no_false_negatives(spark):
     assert fp < 30
 
 
+def test_broadcast_tier_matches_cogroup(spark):
+    """check_broadcast must return row-for-row identical verdicts to
+    the cogroup check — the tier is a physical decision only."""
+    sb = ShardedBloom(n_shards=4, capacity=1 << 12)
+    seen = spark.createDataFrame(
+        [(_h(f"u{i}"),) for i in range(500)], "url_hash string"
+    )
+    shards = sb.build(seen)
+    probe = spark.createDataFrame(
+        [(_h(f"u{i}"),) for i in range(400, 700)], "url_hash string"
+    )
+    via_cogroup = {
+        r.url_hash: r._maybe_seen
+        for r in sb.check(probe, "url_hash", shards).collect()
+    }
+    via_bcast = {
+        r.url_hash: r._maybe_seen
+        for r in sb.check_broadcast(probe, "url_hash", shards).collect()
+    }
+    assert via_bcast == via_cogroup
+    assert sb.store_bytes() == 4 * len(
+        bytes(shards.first()["bits"])
+    )
+
+
 def test_sharded_fold_is_union(spark):
     sb = ShardedBloom(n_shards=4, capacity=1 << 12)
     a = spark.createDataFrame([(_h(f"a{i}"),) for i in range(100)], "url_hash string")

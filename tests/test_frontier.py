@@ -146,6 +146,24 @@ def test_bloom_forced_same_result(spark, small_pdf, workdir):
     assert_equivalent(eng, oracle)
 
 
+def test_bloom_cogroup_tier_same_result(spark, small_pdf, workdir):
+    """Force the cogroup probe tier (bloom_broadcast_max=0 — the
+    10^10-scale path where the shard store is never assembled in one
+    place); verdicts must stay bit-identical with the broadcast tier
+    and the oracle."""
+    tasks = [generic_task(max_depth=3)]
+    corpus_df = spark.createDataFrame(small_pdf, CORPUS_SCHEMA)
+    cfg = EngineConfig(
+        batch_size=8, num_partitions=4, max_rounds=20, use_bloom=True,
+        bloom_capacity=1 << 14, bloom_min_seen=0, bloom_shards=4,
+        bloom_broadcast_max=0,
+    )
+    eng = FrontierEngine(spark, tasks, corpus_df, cfg, workdir=workdir)
+    eng.run(max_rounds=20)
+    oracle = run_oracle(tasks, small_pdf, batch_size=8, max_rounds=20)
+    assert_equivalent(eng, oracle)
+
+
 def test_bloom_lazy_fold_same_result(spark, small_pdf, workdir):
     """Sharded bloom with fold_every=3: rounds between folds rely on
     the unfolded-delta broadcast anti-join — result must stay
@@ -197,6 +215,39 @@ def test_fetch_join_tiers_exact(spark, small_pdf, workdir):
         )
         eng.run(max_rounds=25)
         assert_equivalent(eng, oracle)
+
+
+def test_histogram_cut_refinement_exact(spark, small_pdf, workdir):
+    """Force the dense-band refinement of the histogram cut: dense
+    seed seqs pile into one coarse bucket, and rank_refine_max=4
+    makes every over-full threshold bucket take the second-level
+    (seq >> 7) sub-histogram. Must stay bit-identical to the oracle."""
+    tasks = [generic_task(max_depth=3, n_seeds=40)]
+    corpus_df = spark.createDataFrame(small_pdf, CORPUS_SCHEMA)
+    cfg = EngineConfig(
+        batch_size=16, num_partitions=4, max_rounds=25, use_bloom=False,
+        rank_window_max=0,  # always the histogram-cut distributed path
+        rank_refine_max=4,  # refine any threshold bucket > 4 rows
+    )
+    eng = FrontierEngine(spark, tasks, corpus_df, cfg, workdir=workdir)
+    eng.run(max_rounds=25)
+    oracle = run_oracle(tasks, small_pdf, batch_size=16, max_rounds=25)
+    assert_equivalent(eng, oracle)
+    # under-full rounds (batch > candidates, the histogram exhausts
+    # without crossing batch_size) with BOTH priority classes present
+    # — the refinement must keep every threshold-bucket row (caught a
+    # cum_before accounting bug that silently dropped mid-order rows)
+    tasks2 = [BOOK_TASK, GROUP_TASK, generic_task(max_depth=3, n_seeds=40)]
+    cfg2 = EngineConfig(
+        batch_size=200, num_partitions=4, max_rounds=15, use_bloom=False,
+        rank_window_max=0, rank_refine_max=4,
+    )
+    eng2 = FrontierEngine(
+        spark, tasks2, corpus_df, cfg2, workdir=workdir + "_underfull"
+    )
+    eng2.run(max_rounds=15)
+    oracle2 = run_oracle(tasks2, small_pdf, batch_size=200, max_rounds=15)
+    assert_equivalent(eng2, oracle2)
 
 
 def test_budget_with_salting_exact(spark, small_pdf, workdir):

@@ -386,7 +386,17 @@ class FrontierEngine:
                     new = new.join(F.broadcast(unfolded), "url_hash", "left_anti")
                 e = new.unionByName(checked)
             else:
-                e = e.join(seen.select("url_hash"), "url_hash", "left_anti")
+                # bloom disengaged: the seen set is bounded (below
+                # bloom_min_seen when the bloom is on; caller-bounded
+                # otherwise) — broadcast it explicitly while it fits
+                # the keys budget. Spark's 10 MB auto threshold flips
+                # this anti-join to a sort-merge at ~220k hashes,
+                # which shuffles the FULL-WIDTH frontier — the single
+                # biggest avoidable shuffle of a young crawl's round.
+                seen_keys = seen.select("url_hash")
+                if self._seen_count <= self.cfg.keys_broadcast_max:
+                    seen_keys = F.broadcast(seen_keys)
+                e = e.join(seen_keys, "url_hash", "left_anti")
         return e
 
     def _select_batch(self, eligible: DataFrame) -> DataFrame:

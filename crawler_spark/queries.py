@@ -1274,6 +1274,75 @@ def q_bigram_topk_sql(k: int = 20):
     """
 
 
+def q_hll_distinct(spark, sf_dir):
+    """HyperLogLog distinct count per language (operators/sketches.py):
+    the mergeable-sketch answer to grouped count(DISTINCT) — m=256
+    register maxima per group (map-side partial max, one m-rows-per-
+    group shuffle), never a shuffle of the distinct keys themselves.
+    Register/rank arithmetic is md5-digit-exact so the DuckDB twin runs
+    the identical algorithm."""
+    from crawler_spark.operators import sketches as K
+
+    return K.hll_distinct(_t(spark, sf_dir, "documents"), key="text", group="lang")
+
+
+def q_hll_distinct_sql():
+    from crawler_spark.operators import sketches as K
+
+    return K.hll_distinct_sql("documents", key="text", group="lang")
+
+
+def q_snapshot_diff(spark, sf_dir):
+    """Snapshot CDC (operators/snapshot.py): FULL OUTER join of two
+    deterministic captures of the documents table (md5-bucket split:
+    buckets 0-7 = old, 2-9 = new, every 3rd new bucket's content
+    perturbed) → per-key added/removed/changed/same. One co-partitioned
+    shuffle per side, hashes compared instead of bodies."""
+    from crawler_spark.operators.snapshot import snapshot_diff
+
+    docs = _t(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("long")
+        % 10
+    )
+    base = docs.select("doc_id", "text", bucket.alias("b"))
+    old = base.filter(F.col("b") < 8).select(
+        "doc_id", F.md5("text").alias("content_hash")
+    )
+    new = base.filter(F.col("b") >= 2).select(
+        "doc_id",
+        F.md5(
+            F.when(
+                F.col("b") % 3 == 0, F.concat(F.col("text"), F.lit("!"))
+            ).otherwise(F.col("text"))
+        ).alias("content_hash"),
+    )
+    return snapshot_diff(old, new)
+
+
+def q_snapshot_diff_sql():
+    bucket = _hex4("md5(CAST(doc_id AS VARCHAR))", 1) + " % 10"
+    return f"""
+    WITH base AS (
+      SELECT doc_id, text, {bucket} AS b FROM documents
+    ), old AS (
+      SELECT doc_id, md5(text) AS content_hash FROM base WHERE b < 8
+    ), new AS (
+      SELECT doc_id,
+             md5(CASE WHEN b % 3 = 0 THEN text || '!' ELSE text END)
+               AS content_hash
+      FROM base WHERE b >= 2
+    )
+    SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+           CASE WHEN o.doc_id IS NULL THEN 'added'
+                WHEN n.doc_id IS NULL THEN 'removed'
+                WHEN o.content_hash <> n.content_hash THEN 'changed'
+                ELSE 'same' END AS status
+    FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
+    """
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1325,6 +1394,8 @@ QUERIES = {
     "range_join": q_range_join,
     "value_percentiles": q_value_percentiles,
     "bigram_topk": q_bigram_topk,
+    "hll_distinct": q_hll_distinct,
+    "snapshot_diff": q_snapshot_diff,
 }
 
 ORACLES = {
@@ -1374,4 +1445,6 @@ ORACLES = {
     "range_join": q_range_join_sql(),
     "value_percentiles": q_value_percentiles_sql(),
     "bigram_topk": q_bigram_topk_sql(),
+    "hll_distinct": q_hll_distinct_sql(),
+    "snapshot_diff": q_snapshot_diff_sql(),
 }

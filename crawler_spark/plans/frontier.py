@@ -86,7 +86,7 @@ from pyspark.sql.types import (
 
 from crawler_spark.config import EngineConfig, TaskConfig
 from crawler_spark.functions.parse import make_parse_udf
-from crawler_spark.functions.urlnorm import canonicalize_udf, host_of_udf, url_hash_expr
+from crawler_spark.functions.urlnorm import url_hash_expr, with_canon_host
 from crawler_spark.operators.bloom import ShardedBloom
 from crawler_spark.operators.robots import filter_robots_allowed
 from crawler_spark.sources.tableio import TableIO
@@ -259,8 +259,7 @@ class FrontierEngine:
         )
         df = self.spark.createDataFrame(self._pending_seeds, seed_schema)
         injected = (
-            df.withColumn("canon_url", canonicalize_udf(F.col("url")))
-            .withColumn("host", host_of_udf(F.col("url")))
+            with_canon_host(df)
             .withColumn("url_hash", url_hash_expr(F.col("canon_url")))
             .select(_FRONTIER_COLS)
         )
@@ -335,8 +334,7 @@ class FrontierEngine:
         )
         df = self.spark.createDataFrame(rows, seed_schema)
         return (
-            df.withColumn("canon_url", canonicalize_udf(F.col("url")))
-            .withColumn("host", host_of_udf(F.col("url")))
+            with_canon_host(df)
             .withColumn("url_hash", url_hash_expr(F.col("canon_url")))
             .select(_FRONTIER_COLS)
         )
@@ -642,11 +640,13 @@ class FrontierEngine:
                     + F.col("emit.match_index")
                 ).alias("seq"),
             )
-            .withColumn("canon_url", canonicalize_udf(F.col("url")))
-            .withColumn("host", host_of_udf(F.col("url")))
-            .withColumn("url_hash", url_hash_expr(F.col("canon_url")))
-            .select(_FRONTIER_COLS)
         )
+        # identity columns stay in whole-stage codegen (no Arrow
+        # round-trip): this is out_degree × batch rows every round —
+        # the engine's hottest scalar kernel
+        children = with_canon_host(children).withColumn(
+            "url_hash", url_hash_expr(F.col("canon_url"))
+        ).select(_FRONTIER_COLS)
         return children
 
     def _compact_frontier(self, df: DataFrame) -> DataFrame:

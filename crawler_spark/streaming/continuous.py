@@ -32,7 +32,7 @@ from pyspark.sql.types import (
     TimestampType,
 )
 
-from crawler_spark.functions.urlnorm import canonicalize_udf, host_of_udf, url_hash_expr
+from crawler_spark.functions.urlnorm import url_hash_expr, with_canon_host
 
 DISCOVERED_SCHEMA = StructType(
     [
@@ -45,13 +45,9 @@ DISCOVERED_SCHEMA = StructType(
 
 
 def discovered_stream(spark: SparkSession, input_dir: str) -> DataFrame:
-    return (
-        spark.readStream.schema(DISCOVERED_SCHEMA)
-        .parquet(input_dir)
-        .withColumn("canon_url", canonicalize_udf(F.col("url")))
-        .withColumn("host", host_of_udf(F.col("url")))
-        .withColumn("url_hash", url_hash_expr(F.col("canon_url")))
-    )
+    return with_canon_host(
+        spark.readStream.schema(DISCOVERED_SCHEMA).parquet(input_dir)
+    ).withColumn("url_hash", url_hash_expr(F.col("canon_url")))
 
 
 def deduped_requests(stream: DataFrame, watermark: str = "10 minutes") -> DataFrame:

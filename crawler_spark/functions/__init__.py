@@ -6,4 +6,5 @@ from crawler_spark.functions.urlnorm import (  # noqa: F401
     host_of_udf,
     host_of_url,
     url_hash_expr,
+    with_canon_host,
 )

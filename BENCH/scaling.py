@@ -93,14 +93,29 @@ _warm = corpus.sample(min(1.0, (cores * 30_000) / max(pages, 1)), 7).select(
     ).alias("p")
 )
 _warm.selectExpr("sum(size(p.requests))").collect()
+
+def _cpu():
+    # VM-wide jiffies: user+nice, system+irq+softirq, idle, iowait, steal
+    f = open("/proc/stat").readline().split()
+    v = [int(x) for x in f[1:9]]
+    return (v[0] + v[1], v[2] + v[5] + v[6], v[3], v[4], v[7])
+
+c0 = _cpu()
 t = time.time()
 eng.run(max_rounds=rounds, record_order=False)
 dt = time.time() - t
+c1 = _cpu()
+du, ds, di, dw, dst = (b - a for a, b in zip(c0, c1))
+busy = max(du + ds, 1)
 scheduled = sum(m["batch"] for m in eng.metrics)
 print("RESULT " + json.dumps({{
     "cores": cores, "pages": pages, "batch": batch,
     "rounds": len(eng.metrics), "urls": scheduled,
     "secs": round(dt, 2), "urls_per_sec": round(scheduled / dt, 1),
+    "cpu": {{"user_s": round(du / 100, 1), "sys_s": round(ds / 100, 1),
+             "iowait_s": round(dw / 100, 1), "steal_s": round(dst / 100, 1),
+             "sys_share": round(ds / busy, 3),
+             "busy_cores": round((du + ds) / 100 / dt, 2)}},
     "phases": eng.metrics,
 }}))
 spark.stop()
@@ -176,11 +191,18 @@ def _history_md(stats: dict, hist: list[dict]) -> str:
             f"local[{n4}] {bl[n4]['urls_per_sec']} urls/s → efficiency of "
             f"bests = **{stats['eff_of_best_legs']}**"
         )
-    lines += ["", "| ts | pages/batch | cores | eff | steady eff | speedup | thpt_N | thpt_4N | loads before legs |", "|---|---|---|---|---|---|---|---|---|"]
+    lines += ["", "| ts | pages/batch | cores | eff | steady eff | speedup | thpt_N | thpt_4N | loads before legs | busy-cores N→4N (sys%) |", "|---|---|---|---|---|---|---|---|---|---|"]
     for r in hist:
         ks = sorted(r["legs"], key=int)
         rn, rn4 = (ks[0], ks[-1]) if ks else (n, n4)
         ln, l4 = r["legs"].get(rn, {}), r["legs"].get(rn4, {})
+
+        def _cpu_cell(leg):
+            c = leg.get("cpu")
+            if not c:
+                return "-"
+            return f"{c['busy_cores']} ({c['sys_share']:.0%})"
+
         shape = f"{r.get('pages', 0)//1000}k/{r.get('batch', 0)//1000}k"
         if r.get("filler_kb"):
             shape += f"/{r['filler_kb']}KB"
@@ -188,7 +210,8 @@ def _history_md(stats: dict, hist: list[dict]) -> str:
             f"| {r['ts']} | {shape} | {rn}v{rn4} | {r['efficiency']} | "
             f"{r.get('steady_efficiency', '-')} | {r['speedup']} | "
             f"{ln.get('urls_per_sec', '-')} | {l4.get('urls_per_sec', '-')} | "
-            f"{ln.get('loadavg_before', '-')}/{l4.get('loadavg_before', '-')} |"
+            f"{ln.get('loadavg_before', '-')}/{l4.get('loadavg_before', '-')} | "
+            f"{_cpu_cell(ln)}→{_cpu_cell(l4)} |"
         )
     lines.append(_HE)
     return "\n".join(lines) + "\n"

@@ -5,10 +5,13 @@ the *raw* URL (reference collect/request.go:95-98 — no canonicalization
 anywhere in the Go engine). The north_star spec *adds* canonicalization
 before hashing: lowercase host, strip fragment, strip default port,
 sort query params. So the engine's seen-set key is
-``md5(canonicalize(url) + method)``; ``url_hash_expr`` keeps the md5
-JVM-side (whole-stage codegen) and only the canonical form itself is a
-pandas UDF (string surgery with urllib — vectorized per Arrow batch,
-never per-row Spark UDF).
+``md5(canonicalize(url) + method)``, all JVM-side: ``url_hash_expr``
+is builtin md5/concat and ``with_canon_host`` derives the canonical
+form in whole-stage codegen — a one-regex fast path for
+already-shaped URLs plus a staged full urlsplit twin for the rest.
+The Python functions below are the executable spec (the oracle calls
+them row-wise; the pandas UDFs remain for spec-side use), equivalence
+fuzz-pinned by tests/test_urlnorm.py.
 """
 
 from __future__ import annotations
@@ -141,6 +144,44 @@ _USES_NETLOC = [s for s in uses_netloc if s]
 
 _T = "__cn_"  # temp-column prefix for the staged derivation
 
+# Fast path: one guard regex certifying a URL whose canonical form is
+# derivable with cheap slices (2 regexes + substring/lower/concat)
+# instead of the full ~18-op urlsplit derivation:
+#   - no whitespace/control chars outside the fragment (host/path
+#     classes start ≥ 0x21), so strip()/tab-CR-LF removal can only
+#     touch bytes the fragment-strip discards anyway;
+#   - scheme already lowercase; '//' netloc form;
+#   - netloc = HOST[:PORT]: host is ASCII (mixed case OK — lower() is
+#     the whole normalization), no '@' (userinfo), no '[' ']'
+#     (bracket validation), port all-digits-or-empty ⇒ the only port
+#     rule that can fire is the default-port strip;
+#   - path present (≥ '/'; the empty-path→'/' rule can't fire) and
+#     free of '?' (x3F) ⇒ no query sort; '#' (x23) ends it ⇒ the
+#     optional fragment — ANY bytes — is simply cut at the first '#'
+#     (urlsplit splits the fragment first, so nothing after it can
+#     affect scheme/netloc/path/query);
+#   - any other printable ASCII in the path — incl. uppercase and a
+#     second '://' — is identity-safe: only scheme+host are
+#     normalized.
+# A hit skips the whole derivation (the slow chain's first staged
+# column is null-gated and every downstream expression is
+# null-intolerant, so codegen short-circuits it). This is the
+# engine's hottest kernel (out_degree × batch rows/round) and real
+# crawl hrefs overwhelmingly take this shape.
+# Anchored \A..\z (NOT ^..$: Java '$' accepts a trailing newline).
+_FAST_RE = (
+    r"\A[a-z][a-z0-9+.\-]*://"
+    r"[A-Za-z0-9._~%!$&'()*+,;=\-]+"
+    r"(:[0-9]*)?"
+    r"/[\x21\x22\x24-\x3E\x40-\x7E]*"
+    r"(#[\s\S]*)?\z"
+)
+# hostport slice for guard-matched rows: ANCHORED at the first '://'
+# (a later '://' in the path can't bind — cf. the
+# substring_index(-1) robots bug this avoids); '([^/]*)' is exact
+# because the guard's host/port classes exclude '/'
+_FAST_HOSTPORT_RE = r"^[a-z][a-z0-9+.\-]*://([^/]*)/"
+
 
 def _hex_ok(base: Column) -> Column:
     """ipaddress hextet grammar over a '%'-stripped bracket body; an
@@ -179,13 +220,18 @@ def with_canon_host(df, url_col: str = "url"):
     c = F.col
     u0 = c(url_col)
     stages = [
+        {t + "fast": u0.rlike(_FAST_RE)},
         {
             # Python str.strip() first; then urlsplit's own lstrip of
             # C0/space (urlsplit LSTRIPS ONLY — "some applications
             # rely on preserving trailing space", cpython
             # urllib/parse.py — but str.strip() above already took
             # trailing C0); then tab/CR/LF removed everywhere.
-            t + "u": F.regexp_replace(
+            #
+            # Null-gated on the fast flag: a fast row's __cn_u is null,
+            # and every downstream stage expression is null-intolerant,
+            # so the entire slow derivation short-circuits for it.
+            t + "u": F.when(~c(t + "fast"), F.regexp_replace(
                 F.regexp_replace(
                     F.regexp_replace(
                         u0, f"^[{_PYWS_CLASS}]+|[{_PYWS_CLASS}]+$", ""
@@ -195,13 +241,20 @@ def with_canon_host(df, url_col: str = "url"):
                 ),
                 "[\\t\\n\\r]",
                 "",
-            )
+            )),
+            # fast chain (nulls for slow rows, costing only the
+            # per-row flag test): fragment cut at the FIRST '#'
+            t + "f_pre": F.when(c(t + "fast"), F.substring_index(u0, "#", 1)),
         },
         {
             t + "scheme_raw": F.regexp_extract(
                 c(t + "u"), "^([A-Za-z][A-Za-z0-9+.\\-]*):", 1
             ),
             t + "pre_frag": F.substring_index(c(t + "u"), "#", 1),
+            t + "f_scheme": F.substring_index(c(t + "f_pre"), "://", 1),
+            t + "f_hpr": F.regexp_extract(
+                c(t + "f_pre"), _FAST_HOSTPORT_RE, 1
+            ),
         },
         {
             t + "has_scheme": c(t + "scheme_raw") != "",
@@ -213,6 +266,35 @@ def with_canon_host(df, url_col: str = "url"):
                     F.length(c(t + "pre_frag")),
                 ),
             ).otherwise(F.lit("")),
+            # guard certifies netloc == HOST[:PORT], so lower() is the
+            # entire netloc normalization
+            t + "f_hp": F.lower(c(t + "f_hpr")),
+            t + "f_path": c(t + "f_pre").substr(
+                F.length(c(t + "f_scheme"))
+                + F.length(c(t + "f_hpr"))
+                + 4,
+                F.length(c(t + "f_pre")),
+            ),
+        },
+        {
+            # at most ONE ':' (guard), so first/last splits agree
+            t + "f_host": F.substring_index(c(t + "f_hp"), ":", 1),
+            t + "f_port": F.when(
+                c(t + "f_hp").contains(":"),
+                F.substring_index(c(t + "f_hp"), ":", -1),
+            ),
+        },
+        {
+            # the only port rule that can fire on an all-digit port:
+            # strip iff it string-equals the scheme default
+            t + "f_netloc": F.when(
+                c(t + "f_port")
+                == F.when(c(t + "f_scheme").isin("http", "ws"), "80")
+                .when(c(t + "f_scheme").isin("https", "wss"), "443")
+                .when(c(t + "f_scheme") == "ftp", "21")
+                .otherwise(F.lit("\x00")),
+                c(t + "f_host"),
+            ).otherwise(c(t + "f_hp")),
         },
         {
             t + "rest": F.when(
@@ -368,7 +450,14 @@ def with_canon_host(df, url_col: str = "url"):
     ).otherwise(c(t + "body0"))
     out = df.withColumns(
         {
-            "canon_url": F.when(u0.isNull(), F.lit(None).cast("string"))
+            "canon_url": F.when(
+                c(t + "fast"),
+                F.concat(
+                    c(t + "f_scheme"), F.lit("://"),
+                    c(t + "f_netloc"), c(t + "f_path"),
+                ),
+            )
+            .when(u0.isNull(), F.lit(None).cast("string"))
             .when(c(t + "invalid"), u0)
             .otherwise(
                 F.when(
@@ -376,7 +465,8 @@ def with_canon_host(df, url_col: str = "url"):
                     F.concat(body1, F.lit("?"), c(t + "sorted_q")),
                 ).otherwise(body1)
             ),
-            "host": F.when(u0.isNull(), F.lit(None).cast("string"))
+            "host": F.when(c(t + "fast"), c(t + "f_host"))
+            .when(u0.isNull(), F.lit(None).cast("string"))
             .when(c(t + "invalid"), F.lit(""))
             .otherwise(c(t + "host_raw")),
         }

@@ -124,11 +124,26 @@ shutil.rmtree(f"{{_scratch}}/scaling_work_{{cores}}", ignore_errors=True)
 """
 
 
+PIN_CPUS = os.environ.get("SCALING_PIN", "1") == "1" and os.path.exists(
+    "/usr/bin/taskset"
+)
+
+
 def run_one(cores: int, pages: int, batch: int, rounds: int, trials: int = 2,
             filler_kb: int = 0) -> dict:
     """Best of ``trials`` fresh-JVM runs — the sandbox is a shared-host
     VM with visible steal time; min wall-clock is the standard way to
-    control for neighbor interference."""
+    control for neighbor interference.
+
+    Each leg is taskset-pinned to exactly ``cores`` CPUs (JVM worker
+    threads, GC/JIT service threads, and forked Python workers all
+    share the pinned set). Without pinning the "1-core" leg measurably
+    burns ~1.3 busy cores — JVM service threads run on spare CPUs the
+    box happens to have — so the N-vs-4N resource ratio is ~3×, not
+    4×, and efficiency is understated. Pinning is exactly how a real
+    cluster bounds an executor (cgroup cpuset in YARN/K8s), so the
+    pinned run is the faithful emulation. SCALING_PIN=0 disables.
+    """
     code = RUNNER.format(repo=REPO)
     best = None
     # pre-touched heap (see session.py): 24g is ample for the narrow
@@ -138,9 +153,15 @@ def run_one(cores: int, pages: int, batch: int, rounds: int, trials: int = 2,
     env = dict(os.environ,
                SPARK_DRIVER_MEM=os.environ.get("SPARK_DRIVER_MEM", "24g"),
                SPARK_GRAFT_PRETOUCH=os.environ.get("SPARK_GRAFT_PRETOUCH", "1"))
+    # offset the pin set away from CPU 0 (default IRQ target on most
+    # kernels) so device interrupts don't tax the smallest leg
+    base = int(os.environ.get("SCALING_PIN_BASE", "8"))
+    pin = (["taskset", "-c",
+            f"{base}-{base + cores - 1}" if cores > 1 else str(base)]
+           if PIN_CPUS else [])
     for _ in range(trials):
         out = subprocess.run(
-            [sys.executable, "-c", code, str(cores), str(pages), str(batch),
+            pin + [sys.executable, "-c", code, str(cores), str(pages), str(batch),
              str(rounds), str(filler_kb)],
             capture_output=True,
             text=True,
@@ -155,6 +176,7 @@ def run_one(cores: int, pages: int, batch: int, rounds: int, trials: int = 2,
             raise RuntimeError(
                 f"run cores={cores} failed:\n{out.stdout[-2000:]}\n{out.stderr[-3000:]}"
             )
+        res["pinned"] = bool(pin)
         if best is None or res["secs"] < best["secs"]:
             best = res
     return best
@@ -168,6 +190,7 @@ _HB, _HE = "<!-- SCALING_HISTORY_BEGIN -->", "<!-- SCALING_HISTORY_END -->"
 
 def _history_md(stats: dict, hist: list[dict]) -> str:
     n, n4 = str(CORES_N), str(CORES_4N)
+    pairing_label = f"{n}v{n4}" + ("·pin" if PIN_CPUS else "")
     lines = [
         _HB,
         "## Official-run history (auto-maintained by scaling.py)",
@@ -181,8 +204,8 @@ def _history_md(stats: dict, hist: list[dict]) -> str:
         "median official efficiency.",
         "",
         f"- runs archived: {stats['n_runs']}"
-        f" ({stats['n_runs_pairing']} at the current {n}v{n4} pairing)",
-        f"- median official efficiency at {n}v{n4}: **{stats['median_eff']}**",
+        f" ({stats['n_runs_pairing']} at the current {pairing_label} pairing)",
+        f"- median official efficiency at {pairing_label}: **{stats['median_eff']}**",
     ]
     bl = stats["best_legs"]
     if stats["eff_of_best_legs"] is not None:
@@ -206,8 +229,9 @@ def _history_md(stats: dict, hist: list[dict]) -> str:
         shape = f"{r.get('pages', 0)//1000}k/{r.get('batch', 0)//1000}k"
         if r.get("filler_kb"):
             shape += f"/{r['filler_kb']}KB"
+        cores_cell = f"{rn}v{rn4}" + ("·pin" if r.get("pinned") else "")
         lines.append(
-            f"| {r['ts']} | {shape} | {rn}v{rn4} | {r['efficiency']} | "
+            f"| {r['ts']} | {shape} | {cores_cell} | {r['efficiency']} | "
             f"{r.get('steady_efficiency', '-')} | {r['speedup']} | "
             f"{ln.get('urls_per_sec', '-')} | {l4.get('urls_per_sec', '-')} | "
             f"{ln.get('loadavg_before', '-')}/{l4.get('loadavg_before', '-')} | "
@@ -262,12 +286,14 @@ def _cross_run_stats(hist: list[dict]) -> dict:
       slow N-core leg never becomes the N-core best;
     - the median official efficiency, the centre of the sample.
 
-    Both are computed within the CURRENT (N, 4N) pairing only —
-    mixing a 1v4 run's efficiency into a 4v16 median would compare
-    different experiments.
+    Both are computed within the CURRENT (N, 4N, pinned?) pairing
+    only — mixing a 1v4 run's efficiency into a 4v16 median, or an
+    unpinned run (whose small leg spills service threads onto spare
+    CPUs) into a pinned median, would compare different experiments.
     """
     n, n4 = str(CORES_N), str(CORES_4N)
-    here = [r for r in hist if n in r["legs"] and n4 in r["legs"]]
+    here = [r for r in hist if n in r["legs"] and n4 in r["legs"]
+            and bool(r.get("pinned")) == PIN_CPUS]
     effs = sorted(r["efficiency"] for r in here) or [0.0]
     med = effs[len(effs) // 2] if len(effs) % 2 else round(
         (effs[len(effs) // 2 - 1] + effs[len(effs) // 2]) / 2, 3
@@ -341,12 +367,26 @@ def main():
         round((s32 / s8) / 4.0, 3) if s8 and s32 else None
     )
 
+    # per-busy-core efficiency: throughput per core actually burned
+    # (VM-wide /proc/stat jiffies over the leg window). With taskset
+    # pinning this ≈ the official number; without pinning it corrects
+    # for the small leg's JVM service threads spilling onto spare CPUs.
+    core_eff = None
+    c8, c32 = r8.get("cpu"), r32.get("cpu")
+    if c8 and c32 and c8.get("busy_cores") and c32.get("busy_cores"):
+        core_eff = round(
+            (r32["urls_per_sec"] / c32["busy_cores"])
+            / (r8["urls_per_sec"] / c8["busy_cores"]), 3
+        )
+
     hist = _append_history({
         "ts": time.strftime("%Y-%m-%d %H:%M:%S"),
         "pages": pages, "batch": batch, "rounds": rounds,
         "filler_kb": filler_kb,
+        "pinned": PIN_CPUS,
         "legs": {str(k): v for k, v in results.items()},
         "efficiency": eff, "speedup": speedup,
+        "core_efficiency": core_eff,
         "steady_urls_per_sec": {str(CORES_N): s8, str(CORES_4N): s32},
         "steady_efficiency": steady_eff,
     })
@@ -355,7 +395,7 @@ def main():
     # headline table = best OFFICIAL run (whole interleaved protocol,
     # never a mix of legs across runs); the history section below keeps
     # every run and the slow-denominator-proof cross-run statistics
-    pairing = f"{CORES_N}v{CORES_4N}"
+    pairing = f"{CORES_N}v{CORES_4N}" + ("·pin" if PIN_CPUS else "")
     prev_path = os.path.join(REPO, "BENCH", "scaling.json")
     if os.path.exists(prev_path) and "SCALING_FORCE" not in os.environ:
         with open(prev_path) as f:
@@ -370,6 +410,18 @@ def main():
             _write_history_section(stats, hist)
             return
 
+    pin_note = (
+        "Each leg is `taskset`-pinned to exactly its core count "
+        "(JVM worker + GC/JIT service threads and forked Python workers "
+        "all share the pinned set), the same resource bound a cgroup "
+        "cpuset puts on a YARN/K8s executor. Unpinned, the \"1-core\" "
+        "leg measurably burns ~1.3 busy cores (service threads ride "
+        "spare CPUs), making the resource ratio ~3x and understating "
+        "efficiency." if PIN_CPUS else
+        "Legs are NOT CPU-pinned in this run (SCALING_PIN=0): the "
+        "small leg's JVM service threads ride spare CPUs, so the "
+        "busy-cores column is the honest resource ratio."
+    )
     md = f"""# BENCH/BASELINE — frontier throughput & scaling evidence
 
 Generated {time.strftime('%Y-%m-%d %H:%M:%S')} by `python BENCH/scaling.py`.
@@ -403,6 +455,8 @@ tmpfs to model executor-local NVMe. A real cluster adds memory
 channels, disks, and independent fault paths with every executor
 node, which a single box cannot emulate.
 
+{pin_note}
+
 ## Results
 
 | config | rounds | URLs | secs | URLs/sec |
@@ -412,6 +466,8 @@ node, which a single box cannot emulate.
 
 - speedup {CORES_N}→{CORES_4N} cores (4× resources): **{speedup}×**
 - scaling efficiency = (thpt_4N/thpt_N)/4 = **{eff}** (target ≥ 0.8)
+- per-busy-core efficiency (throughput per core actually burned,
+  /proc/stat over each leg window): **{core_eff}**
 - steady-state (rounds ≥ 2, per-JVM warmup excluded): local[{CORES_N}]
   {s8} urls/s, local[{CORES_4N}] {s32} urls/s → efficiency **{steady_eff}**
 
@@ -452,7 +508,8 @@ parquet snapshot.
                    "pairing": pairing,
                    "efficiency": eff, "speedup": speedup}, f, indent=2)
     _write_history_section(stats, hist)
-    print(f"efficiency={eff} speedup={speedup} -> BENCH/BASELINE.md")
+    print(f"efficiency={eff} speedup={speedup} core_eff={core_eff} "
+          "-> BENCH/BASELINE.md")
 
 
 if __name__ == "__main__":

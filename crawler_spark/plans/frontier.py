@@ -270,6 +270,13 @@ class FrontierEngine:
     def _p(self, *parts: str) -> str:
         return os.path.join(self.workdir, *parts)
 
+    def _jd(self, label: str) -> None:
+        """Tag subsequent jobs with the engine phase (shows up in the
+        Spark UI / event log; BENCH/jobgaps.py groups job wall time by
+        these labels to attribute the N-vs-4N scaling floor). Driver-
+        side thread-local property — zero executor cost."""
+        self.spark.sparkContext.setJobDescription(f"r{self.round}:{label}")
+
     def _ledger_append(self, name: str, pdf: pd.DataFrame, round_no: int) -> None:
         """Driver-side append (no Spark job in parquet mode) for
         *bounded* per-round bookkeeping (failures, lineage)."""
@@ -300,6 +307,7 @@ class FrontierEngine:
         First call doubles as backfill (threshold crossing or resume)."""
         if upto_round == self._bloom_round:
             return
+        self._jd("bloom-fold")
         seen_all = self._read_seen_upto(upto_round)
         if seen_all is None:
             return
@@ -499,6 +507,7 @@ class FrontierEngine:
         cand = candidates.persist()
         self._cand_cache = cand  # unpersisted at end of round
         L1, L2 = _RANK_SHIFT + 7, 7
+        self._jd("rank:eligible+histogram")
         hist = sorted(
             (r["p"], r["b"], r["cnt"])
             for r in cand.groupBy(
@@ -531,6 +540,7 @@ class FrontierEngine:
                 F.shiftright("seq", L1) == tb
             )
             if c_thr > self.cfg.rank_refine_max and bsize < (1 << 62):
+                self._jd("rank:refine")
                 sub = sorted(
                     (r["b2"], r["cnt"])
                     for r in cand.filter(in_thr)
@@ -555,6 +565,7 @@ class FrontierEngine:
             .persist()
         )
         self._ranged_cache = ranged  # unpersisted at end of round
+        self._jd("rank:range+counts")
         counts = {
             r["pid"]: r["count"]
             for r in ranged.groupBy(F.spark_partition_id().alias("pid"))
@@ -736,6 +747,7 @@ class FrontierEngine:
         lands.
         """
         cfg = self.cfg
+        self._jd("frontier-snapshot")
         durable = force_snapshot or (
             cfg.checkpoint_every > 0 and round_no % cfg.checkpoint_every == 0
         )
@@ -933,6 +945,7 @@ class FrontierEngine:
             # distinct: a corpus carrying the same canon_url at two
             # warc_ts would otherwise duplicate batch rows through the
             # join and inflate `scheduled` (bounded set — cheap)
+            self._jd("summary:fetch+parse")
             summary_pd = (
                 batch.join(
                     parsed.select("url_hash").distinct()
@@ -1023,6 +1036,7 @@ class FrontierEngine:
                     F.broadcast(retry_h), "url_hash", "left_anti"
                 )
             n_delta = n_batch - len(retry_hashes)
+            self._jd("seen-write")
             self._ledger_write_df(seen_delta, "seen", rnd, n_files=1)
             self._seen_count += n_delta
             # fold the delta into the engaged shard store every
@@ -1037,6 +1051,7 @@ class FrontierEngine:
             _t_seen = _time.time()
 
             if record_order:
+                self._jd("order-write")
                 fetched_flag = parsed.select("url_hash").distinct().withColumn(
                     "fetched", F.lit(True)
                 )
@@ -1070,6 +1085,7 @@ class FrontierEngine:
             self._ledger_append("lineage", lineage.reset_index(), rnd)
 
             if self._any_items:
+                self._jd("items-write")
                 items_df = parsed.select(
                     "task", "rule", F.col("req_url").alias("url"), "warc_ts",
                     "pull_rank", F.explode("parsed.items").alias("fields"),

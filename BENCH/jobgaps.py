@@ -79,7 +79,16 @@ shutil.rmtree(f"{_scratch}/jobgaps_work_{cores}", ignore_errors=True)
 
 
 def main():
+    global print  # tee every report line to a file: profiling legs
+    # outlive terminal scrollback (and backgrounded shells) routinely
     cores = int(sys.argv[1]) if len(sys.argv) > 1 else 4
+    report = open(os.path.join(REPO, "BENCH", f"jobgaps_{cores}.txt"), "w")
+    _print = print
+
+    def print(*a, **kw):  # noqa: A001
+        _print(*a, **kw)
+        _print(*a, **kw, file=report)
+        report.flush()
     pages = int(sys.argv[2]) if len(sys.argv) > 2 else 2_000_000
     batch = int(sys.argv[3]) if len(sys.argv) > 3 else 600_000
     rounds = int(sys.argv[4]) if len(sys.argv) > 4 else 3

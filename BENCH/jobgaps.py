@@ -35,10 +35,12 @@ from crawler_spark.plans.frontier import FrontierEngine
 from crawler_spark.sources.corpus import build_corpus_df, generic_task
 
 cores = int(sys.argv[1]); pages = int(sys.argv[2]); batch = int(sys.argv[3]); rounds = int(sys.argv[4])
+_conf = {"spark.eventLog.enabled": "true",
+         "spark.eventLog.dir": evdir,
+         "spark.eventLog.compress": "false"}
+_conf.update(json.loads(_os.environ.get("JOBGAPS_CONF", "{}")))
 spark = get_spark(f"jobgaps_{cores}", cores=cores, shuffle_partitions=cores,
-                  extra_conf={"spark.eventLog.enabled": "true",
-                              "spark.eventLog.dir": evdir,
-                              "spark.eventLog.compress": "false"})
+                  extra_conf=_conf)
 spark.sparkContext.setLogLevel("ERROR")
 n_hosts = max(16, pages // 2000)
 corpus_path = f"{_scratch}/scaling_corpus_{pages}_0"

@@ -194,3 +194,13 @@ class EngineConfig:
     # — on a cyclic web graph the difference is unbounded. Off = keep
     # every emitted edge (identical outputs, bigger snapshots).
     frontier_compact: bool = True
+    # overlap the end-of-round seen-write → bloom-fold chain with the
+    # frontier snapshot by submitting it from a second driver thread:
+    # those jobs are independent of the snapshot (both read only the
+    # persisted batch), and their ~4-6 s of driver think time + tiny
+    # serial jobs otherwise idle every executor each round — a pure
+    # Amdahl floor that caps N→4N scaling. The main thread joins the
+    # chain before unpersisting the round's caches, so dataflow and
+    # outputs are identical (oracle-equality suite is the gate). Off =
+    # strictly sequential rounds (simpler stack traces when debugging).
+    overlap_seen_write: bool = True

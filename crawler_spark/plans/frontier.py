@@ -179,6 +179,7 @@ class FrontierEngine:
         self._seen_count = 0
         self._ranged_cache: DataFrame | None = None
         self._cand_cache: DataFrame | None = None
+        self._bg = None  # lazy 1-worker pool (overlap_seen_write)
         self._any_budget = any(t.budget_count > 0 for t in tasks)
         self._any_items = any(
             r.item_fields or r.match_regex for t in tasks for r in t.rules
@@ -270,6 +271,22 @@ class FrontierEngine:
     def _p(self, *parts: str) -> str:
         return os.path.join(self.workdir, *parts)
 
+    def _bg_pool(self):
+        """Single-thread pool for the overlapped seen-write/fold chain
+        (cfg.overlap_seen_write). One worker on purpose: the chain is
+        internally ordered, and a second concurrent job stream is only
+        there to fill executor idle time during driver think time, not
+        to multiply scheduler pressure. PySpark's pinned-thread mode
+        gives the worker its own JVM thread, so job descriptions and
+        interrupts stay scoped to it."""
+        if self._bg is None:
+            from concurrent.futures import ThreadPoolExecutor
+
+            self._bg = ThreadPoolExecutor(
+                max_workers=1, thread_name_prefix="frontier-ledger"
+            )
+        return self._bg
+
     def _jd(self, label: str) -> None:
         """Tag subsequent jobs with the engine phase (shows up in the
         Spark UI / event log; BENCH/jobgaps.py groups job wall time by
@@ -301,21 +318,35 @@ class FrontierEngine:
         for name in ("seen", "order", "items", "failures", "lineage"):
             self.io.drop_after(name, upto_round)
 
-    def _fold_bloom(self, upto_round: int) -> None:
+    def _fold_bloom(self, upto_round: int, delta_df: DataFrame | None = None) -> None:
         """Fold seen rounds (folded_upto, upto] into the shard store —
         one distributed job (build or OR-merge), never a driver loop.
-        First call doubles as backfill (threshold crossing or resume)."""
+        First call doubles as backfill (threshold crossing or resume).
+
+        ``delta_df``: the round's already-persisted seen delta (batch
+        hashes minus reload un-marks). When it covers exactly the
+        unfolded range (the common fold_every=1 cadence) the fold reads
+        it instead of re-scanning the whole seen ledger — the ledger
+        union grows with rounds, the delta doesn't."""
         if upto_round == self._bloom_round:
             return
         self._jd("bloom-fold")
-        seen_all = self._read_seen_upto(upto_round)
-        if seen_all is None:
-            return
-        if self._bloom_round is None:
-            old, delta = None, seen_all
-        else:
+        if (
+            delta_df is not None
+            and self._bloom_round is not None
+            and self._folded_upto == upto_round - 1
+        ):
             old = self.io.read_round("bloom", self._bloom_round)
-            delta = seen_all.filter(F.col("round") > self._folded_upto)
+            delta = delta_df.select("url_hash")
+        else:
+            seen_all = self._read_seen_upto(upto_round)
+            if seen_all is None:
+                return
+            if self._bloom_round is None:
+                old, delta = None, seen_all
+            else:
+                old = self.io.read_round("bloom", self._bloom_round)
+                delta = seen_all.filter(F.col("round") > self._folded_upto)
         shards = self._sharded.fold(old, delta)
         self.io.write_round(shards, "bloom", upto_round, n_files=1)
         old_round = self._bloom_round
@@ -1036,18 +1067,34 @@ class FrontierEngine:
                     F.broadcast(retry_h), "url_hash", "left_anti"
                 )
             n_delta = n_batch - len(retry_hashes)
-            self._jd("seen-write")
-            self._ledger_write_df(seen_delta, "seen", rnd, n_files=1)
             self._seen_count += n_delta
-            # fold the delta into the engaged shard store every
-            # fold_every rounds; in between, _eligible covers the
-            # unfolded rounds with an exact broadcast anti-join
-            if (
+            fold_due = (
                 self._sharded is not None
                 and self._bloom_round is not None
                 and rnd - self._folded_upto >= self.cfg.bloom_fold_every
-            ):
-                self._fold_bloom(rnd)
+            )
+
+            def _seen_chain(seen_delta=seen_delta, rnd=rnd, fold_due=fold_due):
+                # seen-ledger append, then fold the delta into the
+                # engaged shard store every fold_every rounds; in
+                # between, _eligible covers the unfolded rounds with an
+                # exact broadcast anti-join. Returns next round's seen
+                # relation (built after the write so the file listing
+                # sees the new round).
+                self._jd("seen-write")
+                self._ledger_write_df(seen_delta, "seen", rnd, n_files=1)
+                if fold_due:
+                    self._fold_bloom(rnd, delta_df=seen_delta)
+                return self._read_seen_upto(None)
+
+            # these jobs depend only on the persisted batch — overlap
+            # them with the order/items writes and the frontier
+            # snapshot (joined below, before the caches unpersist)
+            seen_fut = None
+            if self.cfg.overlap_seen_write:
+                seen_fut = self._bg_pool().submit(_seen_chain)
+            else:
+                seen = _seen_chain()
             _t_seen = _time.time()
 
             if record_order:
@@ -1092,7 +1139,6 @@ class FrontierEngine:
                 )
                 self._ledger_write_df(items_df, "items", rnd)
 
-            seen = self._read_seen_upto(None)
             _t_ledg = _time.time()
 
             # --- JOB 3: next frontier = deferred ∪ children ∪ retries
@@ -1115,6 +1161,10 @@ class FrontierEngine:
                 )
                 new_frontier = new_frontier.unionByName(retry_df)
             frontier = self._materialize_frontier(new_frontier, rnd)
+            if seen_fut is not None:
+                # join the overlapped seen-write/fold chain before the
+                # caches it reads (batch → seen_delta) unpersist
+                seen = seen_fut.result()
             parsed.unpersist()
             eligible.unpersist()
             batch.unpersist()

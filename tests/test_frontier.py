@@ -146,6 +146,24 @@ def test_bloom_forced_same_result(spark, small_pdf, workdir):
     assert_equivalent(eng, oracle)
 
 
+def test_sequential_seen_write_same_result(spark, small_pdf, workdir):
+    """overlap_seen_write=False — the strictly-sequential end-of-round
+    ledger path (the default overlaps seen-write/bloom-fold with the
+    snapshot from a second driver thread; every other test runs that).
+    Both orderings must stay bit-identical with the oracle."""
+    tasks = [generic_task(max_depth=3)]
+    corpus_df = spark.createDataFrame(small_pdf, CORPUS_SCHEMA)
+    cfg = EngineConfig(
+        batch_size=8, num_partitions=4, max_rounds=20, use_bloom=True,
+        bloom_capacity=1 << 14, bloom_min_seen=0,
+        overlap_seen_write=False,
+    )
+    eng = FrontierEngine(spark, tasks, corpus_df, cfg, workdir=workdir)
+    eng.run(max_rounds=20)
+    oracle = run_oracle(tasks, small_pdf, batch_size=8, max_rounds=20)
+    assert_equivalent(eng, oracle)
+
+
 def test_bloom_cogroup_tier_same_result(spark, small_pdf, workdir):
     """Force the cogroup probe tier (bloom_broadcast_max=0 — the
     10^10-scale path where the shard store is never assembled in one

@@ -66,15 +66,19 @@ class BloomFilter:
         vals = list(values)
         if not vals:
             return
-        try:
-            h1 = np.fromiter((int(v[:16], 16) for v in vals), dtype=np.uint64)
-            h2 = np.fromiter((int(v[16:], 16) | 1 for v in vals), dtype=np.uint64)
-            if any(len(v) != 32 for v in vals):
-                raise ValueError
-        except (ValueError, TypeError):
+        # validate BEFORE parsing: a 33-hex-char key would overflow
+        # uint64 on the v[16:] half (17 hex digits ≥ 2^64) and
+        # OverflowError is not a ValueError — found by hypothesis.
+        # Non-md5-shaped keys take the scalar path, whose md5 branch
+        # matches _probes bit-for-bit.
+        if not all(
+            isinstance(v, str) and _HEX_RE.match(v) for v in vals
+        ):
             for v in vals:
                 self.add(v)
             return
+        h1 = np.fromiter((int(v[:16], 16) for v in vals), dtype=np.uint64)
+        h2 = np.fromiter((int(v[16:], 16) | 1 for v in vals), dtype=np.uint64)
         for i in range(self.k):
             p = (h1 + np.uint64(i) * h2) % np.uint64(self.m)
             np.bitwise_or.at(
@@ -98,7 +102,10 @@ class BloomFilter:
         """
         bits, k, m = self.bits, self.k, self.m
         vals = values.fillna("")
-        hexmask = vals.str.len().eq(32)
+        # fullmatch, not a length check: a 32-char non-hex key must
+        # take the scalar path (whose md5 branch handles it), and a
+        # 33-char hex key would overflow the uint64 parse below
+        hexmask = vals.str.fullmatch("[0-9a-f]{32}")
         if not bool(hexmask.all()):
             return values.map(
                 lambda v: v is not None

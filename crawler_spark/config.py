@@ -194,6 +194,26 @@ class EngineConfig:
     # — on a cyclic web graph the difference is unbounded. Off = keep
     # every emitted edge (identical outputs, bigger snapshots).
     frontier_compact: bool = True
+    # Iceberg-v2-style base+delta frontier materialization. 1 = every
+    # round rewrites the full (compacted) frontier snapshot. k>1 =
+    # between full rewrites, each round appends ONLY its new rows
+    # (children + reload retries) as a delta file-set and keeps the
+    # consumed-but-unseen rows (retry originals, the only batch rows
+    # the seen anti-join doesn't already exclude) in a driver-held
+    # tombstone delete-set that `_eligible` anti-joins out; every k-th
+    # round — and every durable checkpoint — compacts base+deltas back
+    # into one base and clears the tombstones structurally. Cuts the
+    # per-round write from O(frontier) to O(children): at a 10^10-row
+    # frontier with 10^7-row batches the full rewrite is ~100× write
+    # amplification per round, THE materialization scale liability.
+    # This is exactly Iceberg v2 merge-on-read (data deltas + delete
+    # set + periodic compaction) expressed over versioned parquet;
+    # outputs are bit-identical either way (oracle suite is the gate).
+    # Default 4: the whole equality suite runs merge-on-read; set 1 to
+    # force the round-1 full-rewrite behavior (test_frontier_delta
+    # pins both). Durable checkpoints force a base regardless, so
+    # resume always starts from one self-contained snapshot.
+    frontier_base_every: int = 4
     # overlap the end-of-round seen-write → bloom-fold chain with the
     # frontier snapshot by submitting it from a second driver thread:
     # those jobs are independent of the snapshot (both read only the

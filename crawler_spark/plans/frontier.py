@@ -58,12 +58,23 @@ stays distributed:
 - frontier_{t+1} is compacted (statically-dead depth rows and
   dominated per-url duplicates dropped — see ``_compact_frontier``;
   outputs provably unchanged) and materialized to a parquet snapshot
-  each round (lineage truncation + bounded executor memory;
-  non-durable snapshots are deleted as soon as the next round lands);
-  the snapshots on the ``checkpoint_every`` grid are kept durable for
+  (lineage truncation + bounded executor memory; non-durable
+  snapshots are deleted as soon as the next round lands); the
+  snapshots on the ``checkpoint_every`` grid are kept durable for
   exact resume. Compaction bounds the frontier by distinct unseen
   urls rather than emitted edges — the property that lets a 10^10-URL
   crawl hold its frontier at all.
+- with ``frontier_base_every`` > 1 the materialization is Iceberg-v2
+  merge-on-read: rounds between base rewrites append only their NEW
+  rows (children + retries) as delta file-sets — O(children) written
+  per round, not O(frontier), killing the ~100× per-round write
+  amplification a 10^10-row frontier would otherwise pay — with the
+  retry originals (consumed yet un-marked from seen) carried in a
+  tombstone delete-set anti-joined at eligibility; every k-th round
+  and every durable checkpoint compacts base+deltas back into one
+  self-contained base. Outputs are bit-identical either way
+  (tests/test_frontier_delta.py pins retries, budget deferral,
+  resume, and add_task against the oracle).
 """
 
 from __future__ import annotations
@@ -176,6 +187,19 @@ class FrontierEngine:
         self._pending_seeds: list[tuple] = []
         self._prev_frontier_round: int | None = None
         self._snapshot_round = 0
+        # base+delta frontier state (cfg.frontier_base_every > 1):
+        # the frontier relation = base snapshot at _base_round ∪ the
+        # per-round deltas in _delta_rounds, minus the _tombstones
+        # delete-set (retry-original seqs — the only consumed rows the
+        # seen anti-join doesn't already exclude). All three reset at
+        # every base rewrite.
+        self._base_round = 0
+        self._delta_rounds: list[int] = []
+        self._tombstones: list[int] = []
+        # add_task seeds injected since the last base rewrite: they
+        # live only in this (tiny, driver-built) frame until a base
+        # materializes them, so delta-mode part reads must re-union it
+        self._injected_df: DataFrame | None = None
         self._seen_count = 0
         self._ranged_cache: DataFrame | None = None
         self._cand_cache: DataFrame | None = None
@@ -265,6 +289,11 @@ class FrontierEngine:
             .select(_FRONTIER_COLS)
         )
         self._pending_seeds = []
+        self._injected_df = (
+            injected
+            if self._injected_df is None
+            else self._injected_df.unionByName(injected)
+        )
         return frontier.unionByName(injected)
 
     # ---------------- state paths / driver-side ledgers ----------------
@@ -384,6 +413,18 @@ class FrontierEngine:
     # _select_batch and ordered as (_pclass asc, seq asc) throughout
 
     def _eligible(self, frontier: DataFrame, seen: DataFrame | None) -> DataFrame:
+        if self._tombstones:
+            # base+delta mode delete-set: retry originals were consumed
+            # (pulled, failed, un-marked from seen, re-pushed with a
+            # fresh seq) but their old rows still sit in base/delta
+            # files until the next compaction. seq is globally unique,
+            # and the set is bounded by reload retries within one base
+            # window — a broadcast anti-join, the same plan an Iceberg
+            # v2 reader generates for its delete files.
+            tomb = self.spark.createDataFrame(
+                [(int(s),) for s in self._tombstones], "seq long"
+            )
+            frontier = frontier.join(F.broadcast(tomb), "seq", "left_anti")
         e = frontier.join(F.broadcast(self._tasks_dim), "task").filter(
             F.col("depth") <= F.col("max_depth")
         )
@@ -806,6 +847,31 @@ class FrontierEngine:
         self._prev_frontier_round = None if durable else round_no
         return out
 
+    def _read_frontier_parts(self) -> DataFrame:
+        """The current frontier relation in base+delta mode: the base
+        snapshot ∪ every pending per-round delta. All parts are parquet
+        reads, so lineage stays truncated exactly as with the full
+        rewrite; the tombstone delete-set is applied in `_eligible`."""
+        f = self.io.read_round("frontier", self._base_round, FRONTIER_SCHEMA)
+        for dr in self._delta_rounds:
+            f = f.unionByName(
+                self.io.read_round("frontier_delta", dr, FRONTIER_SCHEMA)
+            )
+        if self._injected_df is not None:
+            # add_task seeds not yet materialized by a base rewrite
+            f = f.unionByName(self._injected_df)
+        return f
+
+    def _drop_deltas(self) -> None:
+        """Reset the delta window after a base rewrite materialized it
+        (deltas, tombstones, and injected add_task seeds all flowed
+        into the base structurally, via eligible ∪ children)."""
+        for dr in self._delta_rounds:
+            self.io.drop_round("frontier_delta", dr)
+        self._delta_rounds = []
+        self._tombstones = []
+        self._injected_df = None
+
     # ---------------- main loop ----------------
     def run(
         self,
@@ -821,6 +887,15 @@ class FrontierEngine:
             self.round = man["snapshot_round"]
             self._snapshot_round = self.round
             self._truncate_ledgers(self.round)
+            # durable checkpoints are always self-contained bases (a
+            # checkpoint-grid round forces a base rewrite), so resume
+            # starts with an empty delete-set; orphan deltas from the
+            # abandoned rounds are dead files — drop them
+            self._base_round = self.round
+            self._delta_rounds = []
+            self._tombstones = []
+            self._injected_df = None
+            self.io.drop_after("frontier_delta", self.round)
             frontier = self.io.read_round(
                 "frontier", self.round, FRONTIER_SCHEMA
             )
@@ -843,6 +918,10 @@ class FrontierEngine:
             frontier = self._materialize_frontier(self.seed_frontier(), 0)
             seen = None
             self.round = 0
+            self._base_round = 0
+            self._delta_rounds = []
+            self._tombstones = []
+            self._injected_df = None
 
         frontier = self._merge_pending_seeds(frontier)
 
@@ -1013,6 +1092,12 @@ class FrontierEngine:
             retry_pd = failures_pd[failures_pd["reload"].astype(bool)].copy()
             hard_fail = failures_pd[~failures_pd["reload"].astype(bool)]
             retry_hashes = list(retry_pd["url_hash"])
+            # original seqs of the retried rows — in base+delta mode
+            # these rows stay in older files (consumed, yet un-marked
+            # from seen by the reload path) and must join the
+            # tombstone delete-set; captured before the re-push
+            # overwrites seq below
+            retry_orig_seqs = [int(s) for s in retry_pd["seq"]]
             sched_pd = summary_pd[["task", "host", "scheduled"]]
             _t_fetch = _time.time()
             n_batch = int(sched_pd["scheduled"].sum()) if len(sched_pd) else 0
@@ -1141,26 +1226,62 @@ class FrontierEngine:
 
             _t_ledg = _time.time()
 
-            # --- JOB 3: next frontier = deferred ∪ children ∪ retries
+            # --- JOB 3: next frontier. Base rounds rewrite the full
+            # compacted state (deferred ∪ children ∪ retries); delta
+            # rounds (cfg.frontier_base_every > 1) append only the
+            # round's NEW rows — O(children) written instead of
+            # O(frontier) — and rely on the seen anti-join plus the
+            # retry tombstones to exclude consumed rows, Iceberg-v2
+            # merge-on-read style. Durable checkpoints force a base so
+            # resume state stays one self-contained snapshot.
             children = self._children(parsed)
-            # keys-tier guard (seq is 8 B/row): a batch bounded by
-            # config broadcasts (the big eligible side never
-            # shuffles); an unbounded/huge batch takes the shuffle
-            # anti-join rather than forcing a giant single-threaded
-            # driver broadcast
-            batch_seqs = batch.select("seq")
-            if self.cfg.batch_size and 0 < self.cfg.batch_size <= self.cfg.keys_broadcast_max:
-                batch_seqs = F.broadcast(batch_seqs)
-            deferred = eligible.join(
-                batch_seqs, "seq", "left_anti"
-            ).select(_FRONTIER_COLS)
-            new_frontier = deferred.unionByName(children)
-            if not retry_pd.empty:
-                retry_df = self.spark.createDataFrame(
+            base_due = (
+                self.cfg.frontier_base_every <= 1
+                or rnd - self._base_round >= self.cfg.frontier_base_every
+                or (
+                    self.cfg.checkpoint_every > 0
+                    and rnd % self.cfg.checkpoint_every == 0
+                )
+            )
+            retry_df = (
+                None
+                if retry_pd.empty
+                else self.spark.createDataFrame(
                     retry_pd[_FRONTIER_COLS], FRONTIER_SCHEMA
                 )
-                new_frontier = new_frontier.unionByName(retry_df)
-            frontier = self._materialize_frontier(new_frontier, rnd)
+            )
+            if base_due:
+                # keys-tier guard (seq is 8 B/row): a batch bounded by
+                # config broadcasts (the big eligible side never
+                # shuffles); an unbounded/huge batch takes the shuffle
+                # anti-join rather than forcing a giant single-threaded
+                # driver broadcast
+                batch_seqs = batch.select("seq")
+                if self.cfg.batch_size and 0 < self.cfg.batch_size <= self.cfg.keys_broadcast_max:
+                    batch_seqs = F.broadcast(batch_seqs)
+                deferred = eligible.join(
+                    batch_seqs, "seq", "left_anti"
+                ).select(_FRONTIER_COLS)
+                new_frontier = deferred.unionByName(children)
+                if retry_df is not None:
+                    new_frontier = new_frontier.unionByName(retry_df)
+                frontier = self._materialize_frontier(new_frontier, rnd)
+                self._drop_deltas()
+                self._base_round = rnd
+            else:
+                delta = children.select(_FRONTIER_COLS)
+                if retry_df is not None:
+                    delta = delta.unionByName(retry_df)
+                self._jd("frontier-delta")
+                self.io.write_round(
+                    delta,
+                    "frontier_delta",
+                    rnd,
+                    n_files=min(self.cfg.snapshot_writers, self.cfg.num_partitions),
+                )
+                self._delta_rounds.append(rnd)
+                self._tombstones.extend(retry_orig_seqs)
+                frontier = self._read_frontier_parts()
             if seen_fut is not None:
                 # join the overlapped seen-write/fold chain before the
                 # caches it reads (batch → seen_delta) unpersist
@@ -1208,7 +1329,25 @@ class FrontierEngine:
             )
             self._write_manifest()
 
-        if self._snapshot_round != self.round:
+        if self._delta_rounds:
+            # the run ended mid-delta-window: fold base ∪ deltas minus
+            # the tombstone delete-set into one self-contained base at
+            # the final round, so the external contract (one durable
+            # frontier dir at `round`, resumable with an empty
+            # delete-set) is identical to the full-rewrite mode
+            f = self._read_frontier_parts()
+            if self._tombstones:
+                tomb = self.spark.createDataFrame(
+                    [(int(s),) for s in self._tombstones], "seq long"
+                )
+                f = f.join(F.broadcast(tomb), "seq", "left_anti")
+            frontier = self._materialize_frontier(
+                f, self.round, force_snapshot=True
+            )
+            self._drop_deltas()
+            self._base_round = self.round
+            self._write_manifest()
+        elif self._snapshot_round != self.round:
             # the last round's snapshot already exists on disk — just
             # promote it to durable (re-writing would overwrite the
             # path the DataFrame reads from)

@@ -28,6 +28,30 @@ def get_spark(
     # avoid reverse-DNS stalls in sandboxed/NAT environments (observed
     # ~90 s of the startup without this)
     os.environ.setdefault("SPARK_LOCAL_IP", "127.0.0.1")
+    # Python-worker allocator: keep batch buffers RESIDENT between
+    # Arrow batches. This VM's page-fault path serializes under
+    # concurrency (see the pretouch note below), and the default
+    # allocators give freed big buffers back to the OS — jemalloc/
+    # mimalloc decay in pyarrow, mmap in glibc for >128 KB — so every
+    # round's fetch+parse re-pays serialized first-touch on all cores
+    # at once (re-measured 2026-08-20: first-touch 0.1 GB/s vs reuse
+    # 4.7 GB/s single-proc on this host). Route pyarrow through glibc
+    # (system pool) and tell glibc to serve big allocations from heap
+    # arenas and never trim them; a long-lived reused worker
+    # (spark.python.worker.reuse default) then touches its pages once.
+    # Harmless on real clusters (RSS parks at the per-worker high-water
+    # mark); disable with SPARK_GRAFT_WORKER_ALLOC=0.
+    worker_env = {}
+    if os.environ.get("SPARK_GRAFT_WORKER_ALLOC", "1") != "0":
+        worker_env = {
+            "ARROW_DEFAULT_MEMORY_POOL": "system",
+            "MALLOC_MMAP_THRESHOLD_": str(1 << 30),
+            "MALLOC_TRIM_THRESHOLD_": str(1 << 30),
+        }
+        for k, v in worker_env.items():
+            # before the JVM gateway launches: workers fork from the
+            # (local-mode) JVM and inherit its environment
+            os.environ.setdefault(k, v)
     builder = (
         SparkSession.builder.appName(app_name)
         .master(f"local[{cores}]")
@@ -80,6 +104,10 @@ def get_spark(
             "spark.driver.extraJavaOptions",
             f"-Xms{mem} -XX:+AlwaysPreTouch",
         )
+    for k, v in worker_env.items():
+        # belt-and-suspenders: executorEnv reaches python workers even
+        # when the JVM pre-dates this call (shared getOrCreate)
+        builder = builder.config(f"spark.executorEnv.{k}", v)
     if extra_conf:
         for k, v in extra_conf.items():
             builder = builder.config(k, str(v))

@@ -149,6 +149,14 @@ class EngineConfig:
     # only grid rounds are kept for resume — smaller = finer resume
     # granularity, more retained IO)
     use_bloom: bool = True
+    # membership structure behind the seen prefilter (north_rule names
+    # both): "bloom" = ShardedBloom (k-probe bit arrays, OR-merge
+    # folds); "cuckoo" = ShardedCuckoo (partial-key cuckoo filter,
+    # Fan et al. 2014 — 16-bit fingerprints in 4-slot buckets, true
+    # incremental inserts, and DELETION, the op a bloom cannot
+    # express; fpp ≈ 1.2e-4 at ~16.6 bits/key). Identical store
+    # schema and probe tiers; the engine dataflow does not change.
+    seen_filter: str = "bloom"
     # engage the bloom prefilter only once the seen set is at least
     # this large — below it a broadcast JVM anti-join beats the
     # Python/Arrow bloom round-trip; above broadcast size, the bloom

@@ -163,13 +163,21 @@ class FrontierEngine:
         self.corpus = corpus.select("canon_url", "url", "warc_ts", "text")
         self.round = 0
         self.metrics: list[dict] = []
-        self._sharded = (
-            ShardedBloom(
+        # seen prefilter backend: bloom or cuckoo (north_rule names
+        # both), same store schema / fold cadence / probe tiers —
+        # cfg.seen_filter swaps only the per-shard membership kernel
+        if not self.cfg.use_bloom:
+            self._sharded = None
+        elif self.cfg.seen_filter == "cuckoo":
+            from crawler_spark.operators.cuckoo import ShardedCuckoo
+
+            self._sharded = ShardedCuckoo(
                 self.cfg.bloom_shards, self.cfg.bloom_capacity, self.cfg.bloom_fpp
             )
-            if self.cfg.use_bloom
-            else None
-        )
+        else:
+            self._sharded = ShardedBloom(
+                self.cfg.bloom_shards, self.cfg.bloom_capacity, self.cfg.bloom_fpp
+            )
         # every engine table (frontier, seen, ledgers, bloom shards)
         # goes through the TableIO seam: Iceberg tables when the
         # runtime jar is present, versioned parquet here (SURVEY §7 R1)

@@ -40,9 +40,13 @@ def get_spark(
     # arenas and never trim them; a long-lived reused worker
     # (spark.python.worker.reuse default) then touches its pages once.
     # Harmless on real clusters (RSS parks at the per-worker high-water
-    # mark); disable with SPARK_GRAFT_WORKER_ALLOC=0.
+    # mark). OPT-IN (SPARK_GRAFT_WORKER_ALLOC=1): measured 2026-08-20
+    # at 1M pages/200k batch/4 pinned cores, interleaved best-of-2 —
+    # no win (108/120 s off vs 119/119 s on); glibc's dynamic mmap
+    # threshold apparently already adapts at this Arrow batch shape.
+    # The knob stays for bigger batch shapes and future host eras.
     worker_env = {}
-    if os.environ.get("SPARK_GRAFT_WORKER_ALLOC", "1") != "0":
+    if os.environ.get("SPARK_GRAFT_WORKER_ALLOC", "0") == "1":
         worker_env = {
             "ARROW_DEFAULT_MEMORY_POOL": "system",
             "MALLOC_MMAP_THRESHOLD_": str(1 << 30),

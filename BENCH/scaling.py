@@ -38,7 +38,15 @@ from crawler_spark.sources.corpus import build_corpus_df, generic_task
 
 cores = int(sys.argv[1]); pages = int(sys.argv[2]); batch = int(sys.argv[3]); rounds = int(sys.argv[4])
 filler_kb = int(sys.argv[5]) if len(sys.argv) > 5 else 0
-spark = get_spark(f"scaling_{{cores}}", cores=cores, shuffle_partitions=cores)
+import os as _os
+# tasks-per-core multiplier (A/B knob): shuffle_partitions = cores
+# quantizes each shuffle stage to exactly one task wave — any
+# imbalance idles the other cores until the last task lands. 2-3
+# waves is the standard cluster sizing (spark docs: 2-3 tasks per
+# core); applied identically to both legs.
+_mult = float(_os.environ.get("SCALING_SHUFFLE_MULT", "1"))
+spark = get_spark(f"scaling_{{cores}}", cores=cores,
+                  shuffle_partitions=max(1, int(cores * _mult)))
 spark.sparkContext.setLogLevel("ERROR")
 n_hosts = max(16, pages // 2000)
 # corpus generated once to parquet, then scanned JVM-side each round —
@@ -70,8 +78,8 @@ corpus = spark.read.parquet(corpus_path)
 # anti-join — the scale path is what the north_rule's evidence is about,
 # and its fold/probe work scales with cores where a driver-built
 # broadcast does not
-cfg = EngineConfig(batch_size=batch, num_partitions=cores, use_bloom=True,
-                   bloom_min_seen=1,
+cfg = EngineConfig(batch_size=batch, num_partitions=max(1, int(cores * _mult)),
+                   bloom_min_seen=1, use_bloom=True,
                    bloom_capacity=max(pages * 2, 1 << 20), checkpoint_every=0)
 task = generic_task(max_depth=64, n_seeds=batch, n_hosts=n_hosts)
 eng = FrontierEngine(spark, [task], corpus, cfg,
@@ -110,6 +118,7 @@ busy = max(du + ds, 1)
 scheduled = sum(m["batch"] for m in eng.metrics)
 print("RESULT " + json.dumps({{
     "cores": cores, "pages": pages, "batch": batch,
+    "shuffle_mult": _mult, "setup_s": eng.setup_secs,
     "rounds": len(eng.metrics), "urls": scheduled,
     "secs": round(dt, 2), "urls_per_sec": round(scheduled / dt, 1),
     "cpu": {{"user_s": round(du / 100, 1), "sys_s": round(ds / 100, 1),

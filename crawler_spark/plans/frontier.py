@@ -163,6 +163,7 @@ class FrontierEngine:
         self.corpus = corpus.select("canon_url", "url", "warc_ts", "text")
         self.round = 0
         self.metrics: list[dict] = []
+        self.setup_secs = 0.0
         # seen prefilter backend: bloom or cuckoo (north_rule names
         # both), same store schema / fold cadence / probe tiers —
         # cfg.seen_filter swaps only the per-shard membership kernel
@@ -408,7 +409,16 @@ class FrontierEngine:
             "task string, url string, depth int, priority int, rule string,"
             " reload boolean, temp string, seq long"
         )
-        df = self.spark.createDataFrame(rows, seed_schema)
+        # Arrow path (pandas → createDataFrame): the row-list path
+        # pickles tuple-by-tuple and is the dominant pre-loop setup
+        # cost at bench-scale seed lists (600k seeds ≈ 10s vs <1s);
+        # identical rows/schema either way
+        pdf = pd.DataFrame(
+            rows,
+            columns=["task", "url", "depth", "priority", "rule",
+                     "reload", "temp", "seq"],
+        )
+        df = self.spark.createDataFrame(pdf, seed_schema)
         return (
             with_canon_host(df)
             .withColumn("url_hash", url_hash_expr(F.col("canon_url")))
@@ -887,6 +897,9 @@ class FrontierEngine:
         record_order: bool = True,
         resume: bool = False,
     ) -> dict:
+        import time as _time
+
+        _t_run0 = _time.time()
         cfg = self.cfg
         max_rounds = max_rounds or cfg.max_rounds
         if resume:
@@ -933,7 +946,10 @@ class FrontierEngine:
 
         frontier = self._merge_pending_seeds(frontier)
 
-        import time as _time
+        # pre-loop setup cost (seed materialization / resume reads) —
+        # serial-ish and round-count-independent, so the scaling
+        # harness needs it split out of the per-round phase totals
+        self.setup_secs = round(_time.time() - _t_run0, 2)
 
         # SPARK_GRAFT_PHASE_DEBUG=1: force an action after each select
         # sub-stage so t_select decomposes (eligible / rank-cut /

@@ -1274,6 +1274,19 @@ class FrontierEngine:
                     retry_pd[_FRONTIER_COLS], FRONTIER_SCHEMA
                 )
             )
+            # writer-side consumed-key exclusion, both modes: this
+            # round's seen delta (batch hashes minus reload un-marks)
+            # is permanently seen — a hash can only be un-marked by the
+            # round that crawled it, and a seen hash is never eligible
+            # again — so children/deferred dups carrying those hashes
+            # are dead rows every later round would re-probe through
+            # the bloom + anti-join. Dropping them at write is O(batch)
+            # (broadcast anti-join) and shrinks a cyclic graph's
+            # frontier parts ~30%. Retry rows re-enter AFTER the filter
+            # (their hashes are exactly the un-marked ones).
+            consumed_keys = seen_delta
+            if self.cfg.batch_size and 0 < self.cfg.batch_size <= self.cfg.keys_broadcast_max:
+                consumed_keys = F.broadcast(consumed_keys)
             if base_due:
                 # keys-tier guard (seq is 8 B/row): a batch bounded by
                 # config broadcasts (the big eligible side never
@@ -1286,14 +1299,29 @@ class FrontierEngine:
                 deferred = eligible.join(
                     batch_seqs, "seq", "left_anti"
                 ).select(_FRONTIER_COLS)
-                new_frontier = deferred.unionByName(children)
+                new_frontier = deferred.unionByName(children).join(
+                    consumed_keys, "url_hash", "left_anti"
+                ).select(_FRONTIER_COLS)
                 if retry_df is not None:
                     new_frontier = new_frontier.unionByName(retry_df)
                 frontier = self._materialize_frontier(new_frontier, rnd)
                 self._drop_deltas()
                 self._base_round = rnd
             else:
+                # delta files are compacted like bases: the raw explode
+                # carries ~out_degree× duplicate url_hashes, and every
+                # later round until the next base would drag them
+                # through eligibility (measured 3× select-phase cost at
+                # bench shape). First-wins within the round's children
+                # composes with the cross-part first-wins at selection
+                # (min over blocks = global min), so reads see the same
+                # winners as the uncompacted union.
                 delta = children.select(_FRONTIER_COLS)
+                if self.cfg.frontier_compact:
+                    delta = self._compact_frontier(delta)
+                delta = delta.join(
+                    consumed_keys, "url_hash", "left_anti"
+                ).select(_FRONTIER_COLS)
                 if retry_df is not None:
                     delta = delta.unionByName(retry_df)
                 self._jd("frontier-delta")

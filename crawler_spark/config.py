@@ -222,6 +222,14 @@ class EngineConfig:
     # pins both). Durable checkpoints force a base regardless, so
     # resume always starts from one self-contained snapshot.
     frontier_base_every: int = 4
+    # JVM codegen parse for link-only rules (no temp carry, no item
+    # fields, no boolean match): `regexp_extract_all` + `transform`
+    # inside whole-stage codegen, so page bodies never cross into
+    # Python for those pages. Rules outside that class always take the
+    # shared Arrow UDF (functions/parse.py:parse_page, the executable
+    # spec); outputs are pinned identical (tests/test_rules.py + every
+    # engine-vs-oracle suite). Off = every rule through the UDF.
+    jvm_parse: bool = True
     # overlap the end-of-round seen-write → bloom-fold chain with the
     # frontier snapshot by submitting it from a second driver thread:
     # those jobs are independent of the snapshot (both read only the

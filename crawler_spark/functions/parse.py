@@ -153,3 +153,89 @@ def apply_parse(df, rule_map: dict[str, RuleSpec], text_col: str = "text"):
     return df.withColumn(
         "parsed", udf(F.col("rule"), F.col("url"), F.col(text_col), F.col("temp"))
     )
+
+
+# ------------------------------------------------------------------
+# JVM codegen fast path for link-only rules
+# ------------------------------------------------------------------
+# The Arrow UDF is the slow path: page bodies (the dominant bytes) are
+# serialized to Python workers every round, and Python-worker compute
+# amplifies under multi-core concurrency. A rule that only extracts
+# links — no temp carry, no item fields, no boolean match — is a pure
+# regex map, which Spark's `regexp_extract_all` + `transform` express
+# entirely inside whole-stage codegen: zero Arrow crossings for those
+# pages. The compiled expression is pinned equal to ``parse_page`` by
+# tests/test_rules.py (randomized corpora, both paths) AND by every
+# engine-vs-oracle suite (the oracle interprets parse_page; the engine
+# runs this expression for eligible rules by default).
+
+# conservative Java/Python/Go-RE2-agreeing pattern subset: literals,
+# char classes ([...] incl. \d \D \s \S \w \W), wildcards, greedy/lazy
+# quantifiers, groups. No backrefs, no inline flags, no lookaround, no
+# anchors (multiline $ drift), no alternation-with-anchors corners —
+# anything outside the allowlist falls back to the shared-Python UDF.
+_JVM_SAFE_TOKEN = re.compile(
+    r"""
+    \[(?:\\.|[^\]\\])*\]          # character class
+  | \\[dDsSwW]                    # predefined classes
+  | \\[\\.+*?()\[\]{}|^$/"']     # escaped metachar
+  | [^\\\[\]()^$|]               # plain char (incl. . + * ? { } digits)
+  | \(\?:                         # non-capturing group open
+  | \((?!\?)                      # capturing group open — any other (?…
+                                  # construct (flags, lookaround, named
+                                  # groups) is rejected
+  | \)                            # group close
+    """,
+    re.VERBOSE,
+)
+
+
+def _pattern_jvm_safe(pattern: str) -> bool:
+    pos = 0
+    while pos < len(pattern):
+        m = _JVM_SAFE_TOKEN.match(pattern, pos)
+        if m is None:
+            return False
+        pos = m.end()
+    return True
+
+
+def jvm_expressible(spec: RuleSpec) -> bool:
+    """True if this rule can run as a codegen expression with byte-
+    identical output to ``parse_page``."""
+    return bool(
+        spec.link_regex
+        and not spec.temp_key
+        and not spec.item_fields
+        and not spec.match_regex
+        and _pattern_jvm_safe(spec.link_regex)
+    )
+
+
+def jvm_parsed_expr(spec: RuleSpec, text_col):
+    """The ``parsed`` struct (same schema as the UDF) for one
+    link-only rule, as a pure JVM expression.
+
+    Mirrors parse_page's link branch exactly: every non-overlapping
+    leftmost match in document order, group 1 prefixed with
+    ``url_prefix``, temp = "{}" (json.dumps of the empty carry),
+    match_index = 0-based enumeration. Null body → empty result, like
+    the UDF's ``text is None`` guard.
+    """
+    links = F.regexp_extract_all(text_col, F.lit(spec.link_regex), F.lit(1))
+    reqs = F.transform(
+        links,
+        lambda x, i: F.struct(
+            F.concat(F.lit(spec.url_prefix), x).alias("url"),
+            F.lit(spec.next_rule).alias("rule"),
+            F.lit(int(spec.next_priority)).cast("int").alias("priority"),
+            F.lit(bool(spec.emit_reload)).alias("reload"),
+            F.lit("{}").alias("temp"),
+            i.cast("int").alias("match_index"),
+        ),
+    )
+    empty = F.array().cast(ArrayType(REQUEST_EMIT_TYPE))
+    no_items = F.array().cast(ArrayType(StringType()))
+    return F.when(
+        text_col.isNull(), F.struct(empty.alias("requests"), no_items.alias("items"))
+    ).otherwise(F.struct(reqs.alias("requests"), no_items.alias("items")))

@@ -718,6 +718,60 @@ class FrontierEngine:
             keys = F.broadcast(keys)
         return eligible.select(_FRONTIER_COLS).join(keys, ["url_hash", "seq"])
 
+    def _parse_plan(self, hits: DataFrame) -> DataFrame:
+        """The per-round ``parsed`` relation, split by rule kind.
+
+        Link-only rules (no temp carry, no items, no boolean match —
+        e.g. every rule of a plain BFS crawl) compile to a
+        `regexp_extract_all` + `transform` expression that runs inside
+        whole-stage codegen: the page bodies never cross into Python.
+        Everything else takes the shared Arrow UDF (parse_page), the
+        executable-spec path. When every rule is JVM-expressible the
+        Python branch is omitted entirely — no workers fork, no Arrow
+        serialization of bodies. Equality of the two paths is pinned
+        by tests/test_rules.py and by every engine-vs-oracle suite
+        (the oracle always interprets parse_page).
+        """
+        from crawler_spark.functions.parse import jvm_expressible, jvm_parsed_expr
+
+        head = ["url_hash", "task", "rule", "depth", "pull_rank", "warc_ts",
+                "req_url"]
+        keycol = F.concat_ws("\x00", F.col("task"), F.col("rule"))
+        fast = (
+            [(k, s) for k, s in self._flat_rules.items() if jvm_expressible(s)]
+            if self.cfg.jvm_parse
+            else []
+        )
+        have_slow = len(fast) < len(self._flat_rules)
+        branches = []
+        if fast:
+            case = None
+            for k, spec in fast:
+                e = jvm_parsed_expr(spec, F.col("text"))
+                case = F.when(keycol == F.lit(k), e) if case is None else case.when(
+                    keycol == F.lit(k), e
+                )
+            fast_rows = hits
+            if have_slow:
+                fast_rows = hits.filter(keycol.isin([k for k, _ in fast]))
+            branches.append(fast_rows.select(*head, case.alias("parsed")))
+        if have_slow or not fast:
+            slow_rows = hits
+            if fast:
+                slow_rows = hits.filter(~keycol.isin([k for k, _ in fast]))
+            branches.append(
+                slow_rows.select(
+                    *head,
+                    self._parse_udf(
+                        keycol, F.col("req_url"), F.col("text"), F.col("temp")
+                    ).alias("parsed"),
+                )
+            )
+        out = branches[0]
+        for b in branches[1:]:
+            out = out.unionByName(b)
+        return out
+
     def _children(self, parsed: DataFrame):
         base = (self.round) << _ROUND_SHIFT
         children = (
@@ -1041,22 +1095,9 @@ class FrontierEngine:
             # (children/items/summary consume only keys + the parse
             # struct). Project them away before the persist so the
             # cache is narrow and the Arrow batches carry bodies
-            # exactly once, into the UDF.
-            parsed = hits.select(
-                "url_hash",
-                "task",
-                "rule",
-                "depth",
-                "pull_rank",
-                "warc_ts",
-                "req_url",
-                self._parse_udf(
-                    F.concat_ws("\x00", F.col("task"), F.col("rule")),
-                    F.col("req_url"),
-                    F.col("text"),
-                    F.col("temp"),
-                ).alias("parsed"),
-            ).persist()
+            # exactly once, into the parse (JVM codegen for link-only
+            # rules; Arrow UDF otherwise — see _parse_plan).
+            parsed = self._parse_plan(hits).persist()
             if _dbg:
                 parsed.count()
                 _dbg_t["parse"] = round(_time.time() - _td, 2)

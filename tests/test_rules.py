@@ -11,6 +11,8 @@ Each case mirrors a Go rule function:
 
 import json
 
+from pyspark.sql import functions as F
+
 from crawler_spark.functions.parse import go_atoi, parse_page
 from crawler_spark.rules import (
     RULE_BOOK_DETAIL,
@@ -158,3 +160,77 @@ def test_spark_parse_udf_matches_pure_python(spark):
             g["temp"] = json.loads(g["temp"])
         assert got_reqs == exp_reqs
         assert [json.loads(s) for s in row.parsed.items] == exp_items
+
+
+# ------------------------------------------------------------------
+# JVM codegen fast path (functions/parse.py:jvm_parsed_expr)
+# ------------------------------------------------------------------
+
+def test_jvm_expressible_classification():
+    from crawler_spark.functions.parse import jvm_expressible
+    from crawler_spark.rules import RULE_BOOK_LIST, RULE_GROUP_URL, RULE_SUN_ROOM
+    from crawler_spark.sources.corpus import GENERIC_RULE
+
+    # link-only rules compile; temp-carry / item / boolean-match rules
+    # must stay on the shared-Python executable-spec path
+    assert jvm_expressible(GENERIC_RULE)
+    assert jvm_expressible(RULE_TAG)
+    assert not jvm_expressible(RULE_BOOK_LIST)  # temp_key carry
+    assert not jvm_expressible(RULE_BOOK_DETAIL)  # item fields
+    assert not jvm_expressible(RULE_SUN_ROOM)  # boolean match
+    # 2-group link rule without temp carry: group 2 is unused by
+    # parse_page, so it compiles too (reload flag rides along)
+    assert jvm_expressible(RULE_GROUP_URL)
+
+
+def test_pattern_jvm_safe_allowlist():
+    from crawler_spark.functions.parse import _pattern_jvm_safe
+
+    for p in (
+        r'<a href="([^"]+)" class="link">',
+        r'<a href="([^"]+)" class="tag">([^<]+)</a>',
+        r'<a.*?href="([^"]+)" title="([^"]+)"',
+        r"(https://www.douban.com/group/topic/[0-9a-z]+/)",
+        r"<span>[\d\D]*?<a.*?>([^<]+)</a>",
+    ):
+        assert _pattern_jvm_safe(p), p
+    for p in (
+        r"(a)\1",          # backref
+        r"(?i)case",       # inline flag
+        r"(?=look)ahead",  # lookaround
+        r"^anchor$",       # anchors (multiline drift)
+        r"a|b",            # top-level alternation kept off the allowlist
+    ):
+        assert not _pattern_jvm_safe(p), p
+
+
+def test_jvm_parsed_expr_equals_parse_page(spark):
+    """The codegen expression is byte-identical to parse_page for every
+    expressible rule over goldens, generated pages, and edge cases."""
+    from crawler_spark.functions.parse import jvm_expressible, jvm_parsed_expr
+    from crawler_spark.sources.corpus import GENERIC_RULE, generic_page_text
+
+    texts = [generic_page_text(7, i, 300, 8, out_degree=5, filler_kb=1)
+             for i in range(150)]
+    texts += [
+        '<a href="/x" class="tag">a</a> mid <a href="/y" class="tag">b</a>',
+        '<a href="/only" class="link">',
+        "",
+        None,
+        "no anchors at all",
+        '<a href="" class="link">',  # empty group can't match [^"]+
+        '<a href="/dup" class="link"><a href="/dup" class="link">',
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    for spec in (GENERIC_RULE, RULE_TAG):
+        assert jvm_expressible(spec)
+        got = df.select(jvm_parsed_expr(spec, F.col("text")).alias("p")).collect()
+        for t, row in zip(texts, got):
+            exp_reqs, exp_items = ([], []) if t is None else parse_page(
+                spec, "http://req", t, {}
+            )
+            got_reqs = [r.asDict() for r in row.p.requests]
+            for g in got_reqs:
+                g["temp"] = json.loads(g["temp"])
+            assert got_reqs == exp_reqs, (spec.name, t)
+            assert list(row.p.items) == [] and exp_items == []

@@ -81,6 +81,7 @@ corpus = spark.read.parquet(corpus_path)
 cfg = EngineConfig(batch_size=batch, num_partitions=max(1, int(cores * _mult)),
                    bloom_min_seen=1, use_bloom=True,
                    frontier_base_every=int(_os.environ.get("SCALING_BASE_EVERY", "4")),
+                   jvm_parse=_os.environ.get("SCALING_JVM_PARSE", "1") == "1",
                    bloom_capacity=max(pages * 2, 1 << 20), checkpoint_every=0)
 task = generic_task(max_depth=64, n_seeds=batch, n_hosts=n_hosts)
 eng = FrontierEngine(spark, [task], corpus, cfg,

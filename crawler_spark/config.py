@@ -178,6 +178,22 @@ class EngineConfig:
     # rounds (≤ k·batch_size rows) are covered by a broadcast anti-join
     # until the next fold, so correctness never depends on fold timing
     bloom_fold_every: int = 1
+    # exact seen check for maybe-seen rows (engaged-prefilter path) as
+    # a sorted-run row-group probe (operators/seenstore.py) instead of
+    # a left-anti join against the full seen ledger: per-round cost
+    # O(maybe · log seen) — no O(seen) shuffle, the ledger is never
+    # even fully read (the batch analogue of the Go O(1) Visited
+    # lookup, engine/schedule.go:272-275). Parquet mode only; with
+    # Iceberg the same layout comes from bucketed+sorted table spec.
+    # Off = the round-2 full-ledger anti-join (identical outputs).
+    sorted_seen_probe: bool = True
+    # compact seen-ledger rounds into a few large sorted runs when
+    # more than this many rounds have accumulated since the last
+    # compaction (LSM: rounds are level-0 runs, `seen_runs` level-1).
+    # Bounds probe file count at long horizons; amortized cost
+    # O(seen / k) per round, overlapped with the frontier snapshot.
+    # 0 = never compact.
+    seen_compact_every: int = 64
     # writer-task cap for the per-round frontier snapshot:
     # min(snapshot_writers, num_partitions) reduce/writer partitions.
     # The old cap of 8 idled half a 16-core leg during t_frontier

@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import json
 import re
+import warnings
 
 import pandas as pd
 from pyspark.sql import functions as F
@@ -169,17 +170,32 @@ def apply_parse(df, rule_map: dict[str, RuleSpec], text_col: str = "text"):
 # engine-vs-oracle suite (the oracle interprets parse_page; the engine
 # runs this expression for eligible rules by default).
 
-# conservative Java/Python/Go-RE2-agreeing pattern subset: literals,
-# char classes ([...] incl. \d \D \s \S \w \W), wildcards, greedy/lazy
-# quantifiers, groups. No backrefs, no inline flags, no lookaround, no
-# anchors (multiline $ drift), no alternation-with-anchors corners —
-# anything outside the allowlist falls back to the shared-Python UDF.
+# conservative Java/Python-agreeing pattern subset: literals, char
+# classes, wildcards, greedy/lazy quantifiers, groups. No backrefs, no
+# inline flags, no lookaround, no anchors (multiline $ drift), no
+# alternation — anything outside the allowlist falls back to the
+# shared-Python UDF. Beyond the token scan, divergence corners are
+# rejected individually (see _pattern_jvm_safe / _class_body_jvm_safe):
+#   - bare \d \s \w \D \S \W: Python re is Unicode-aware, Java ASCII
+#     (without (?U)) — a non-ASCII-digit page would split the paths.
+#     Allowed ONLY as a whole match-all class pair ([\d\D] etc), where
+#     union-of-complement is "every char" in both engines.
+#   - '&&' inside a class: Java intersection, Python two literal '&'.
+#   - unescaped '[' inside a class: Java nested-class union, Python a
+#     literal '[' (both compile — the runtime gate can't catch it).
+#   - '{': only well-formed {m} {m,} {m,n} quantifiers (both engines
+#     agree); Java throws on dangling '{x}' where Python reads literals.
+#   - group 1 must exist and must not be optional ((g)?, (g)*, (g){0,…}
+#     or an optional enclosing group): a non-participating group yields
+#     "" from regexp_extract_all but None→TypeError in parse_page.
+# The '.' newline gap (Java '.' also excludes CR, U+0085, U+2028, U+2029)
+# is closed by compiling with (?d) UNIX_LINES — see _jvm_pattern.
 _JVM_SAFE_TOKEN = re.compile(
     r"""
-    \[(?:\\.|[^\]\\])*\]          # character class
-  | \\[dDsSwW]                    # predefined classes
+    \[(?:\\.|[^\]\\])*\]          # character class (body checked separately)
   | \\[\\.+*?()\[\]{}|^$/"']     # escaped metachar
-  | [^\\\[\]()^$|]               # plain char (incl. . + * ? { } digits)
+  | \{\d+(?:,\d*)?\}             # well-formed quantifier {m} {m,} {m,n}
+  | [^\\\[\]()^$|{]              # plain char (incl. . + * ? } digits)
   | \(\?:                         # non-capturing group open
   | \((?!\?)                      # capturing group open — any other (?…
                                   # construct (flags, lookaround, named
@@ -189,15 +205,120 @@ _JVM_SAFE_TOKEN = re.compile(
     re.VERBOSE,
 )
 
+# [\d\D] / [\s\S] / [\w\W] (either order): class ∪ complement is every
+# char in both engines regardless of the Unicode/ASCII split
+_MATCH_ALL_CLASS_BODIES = frozenset(
+    a + b for a, b in ((r"\d", r"\D"), (r"\s", r"\S"), (r"\w", r"\W"))
+) | frozenset(
+    b + a for a, b in ((r"\d", r"\D"), (r"\s", r"\S"), (r"\w", r"\W"))
+)
+
+_PREDEFINED_ESCAPES = frozenset((r"\d", r"\D", r"\s", r"\S", r"\w", r"\W"))
+
+
+def _class_body_jvm_safe(body: str) -> bool:
+    """Validate one character-class body (between [ and ])."""
+    inner = body[1:] if body.startswith("^") else body
+    if inner in _MATCH_ALL_CLASS_BODIES:
+        return True
+    pos, prev_amp = 0, False
+    while pos < len(inner):
+        ch = inner[pos]
+        if ch == "\\":
+            if pos + 1 >= len(inner):
+                return False
+            if inner[pos : pos + 2] in _PREDEFINED_ESCAPES:
+                return False  # Unicode(Python) vs ASCII(Java) drift
+            pos += 2
+            prev_amp = False
+            continue
+        if ch == "[":
+            return False  # Java nested-class union vs Python literal
+        if ch == "&" and prev_amp:
+            return False  # Java intersection vs Python literals
+        prev_amp = ch == "&"
+        pos += 1
+    return True
+
+
+_OPTIONAL_QUANT_AFTER = re.compile(r"[?*]|\{0[,}]")
+
 
 def _pattern_jvm_safe(pattern: str) -> bool:
+    try:
+        with warnings.catch_warnings():
+            # e.g. FutureWarning for '&&' in classes we reject anyway
+            warnings.simplefilter("ignore")
+            re.compile(pattern)
+    except re.error:
+        return False  # broken everywhere — crash on the oracle path too
     pos = 0
+    ncap = 0
+    open_stack: list[bool] = []  # per open group: encloses-or-is group 1
     while pos < len(pattern):
         m = _JVM_SAFE_TOKEN.match(pattern, pos)
         if m is None:
             return False
+        tok = m.group(0)
+        if tok.startswith("[") and tok.endswith("]") and len(tok) >= 2:
+            if not _class_body_jvm_safe(tok[1:-1]):
+                return False
+        elif tok == "(?:":
+            open_stack.append(False)
+        elif tok == "(":
+            ncap += 1
+            if ncap == 1:
+                # every group already open encloses group 1
+                open_stack = [True] * len(open_stack)
+            open_stack.append(ncap == 1)
+        elif tok == ")":
+            if not open_stack:
+                return False
+            if open_stack.pop() and _OPTIONAL_QUANT_AFTER.match(
+                pattern, m.end()
+            ):
+                return False  # group 1 could fail to participate
         pos = m.end()
-    return True
+    # parse_page reads m.group(1): require it, balanced groups
+    return not open_stack and ncap >= 1
+
+
+def _jvm_pattern(pattern: str) -> str:
+    """The Java-side compiled form: (?d) UNIX_LINES makes Java's '.'
+    exclude only \\n — Python re's behavior — instead of Java's default
+    \\n \\r \\u0085 \\u2028 \\u2029 set. Anchors (the other UNIX_LINES
+    surface) are rejected by the allowlist, so the flag only touches
+    '.'."""
+    return "(?d)" + pattern
+
+
+# plan-time JVM compile gate: a pattern Python accepts but Java rejects
+# (or that regexp_extract_all would die on) must fall back to the UDF
+# gracefully instead of throwing PatternSyntaxException inside an
+# executor mid-job. Cached per pattern; checked on the driver JVM.
+_jvm_compile_cache: dict[str, bool] = {}
+
+
+def _jvm_compiles(pattern: str) -> bool:
+    cached = _jvm_compile_cache.get(pattern)
+    if cached is not None:
+        return cached
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession()
+    if spark is None:
+        # no JVM to ask (e.g. pure-Python config validation before the
+        # session exists): trust the static allowlist, don't cache —
+        # _parse_plan always runs with an active session so the real
+        # engine path is always gated.
+        return True
+    try:
+        spark._jvm.java.util.regex.Pattern.compile(pattern)  # noqa: SLF001
+        ok = True
+    except Exception:
+        ok = False
+    _jvm_compile_cache[pattern] = ok
+    return ok
 
 
 def jvm_expressible(spec: RuleSpec) -> bool:
@@ -209,6 +330,7 @@ def jvm_expressible(spec: RuleSpec) -> bool:
         and not spec.item_fields
         and not spec.match_regex
         and _pattern_jvm_safe(spec.link_regex)
+        and _jvm_compiles(_jvm_pattern(spec.link_regex))
     )
 
 
@@ -222,7 +344,9 @@ def jvm_parsed_expr(spec: RuleSpec, text_col):
     match_index = 0-based enumeration. Null body → empty result, like
     the UDF's ``text is None`` guard.
     """
-    links = F.regexp_extract_all(text_col, F.lit(spec.link_regex), F.lit(1))
+    links = F.regexp_extract_all(
+        text_col, F.lit(_jvm_pattern(spec.link_regex)), F.lit(1)
+    )
     reqs = F.transform(
         links,
         lambda x, i: F.struct(

@@ -3,15 +3,25 @@ has no robots handling).
 
 Rules live in a small dimension table ``(host, path_prefix, allow)``.
 Decision = longest matching prefix for the request's host; default
-allow. Implemented entirely with built-in expressions: broadcast join
-on host, ``startswith`` prefix filter, longest-prefix pick via a
-max_by aggregate — no UDF, stays in whole-stage codegen.
+allow; among equal-length matches the FIRST rule in input order wins
+(plans/oracle.py:robots_allowed uses strict ``>`` over the rule list).
+
+Plan shape: the rule table is pre-grouped to one row per host carrying
+an ordered ``array<struct<prefix,allow>>``, broadcast-joined once, and
+the longest matching prefix is picked by a higher-order ``aggregate``
+expression — the frontier side never shuffles and the whole decision
+stays inside whole-stage codegen. (Round 2 resolved longest-prefix
+with ``groupBy(*frontier.columns)`` + ``max_by``, which hash-shuffled
+every frontier row at full width each round and left ties to whichever
+row ``max_by`` saw last.)
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+_RULES_SCHEMA = "host string, rules array<struct<prefix:string,allow:boolean>>"
 
 
 def path_of(url_col):
@@ -32,34 +42,64 @@ def path_of(url_col):
     )
 
 
+def prepare_robots(robots: DataFrame | None) -> DataFrame | None:
+    """Group a (host, path_prefix, allow) rule table to one row per
+    host with the host's rules as an ordered array.
+
+    The table is a config-scale dimension (the engine broadcasts it
+    regardless), so the grouping runs on the driver: a distributed
+    ``collect_list`` has no defined order, and rule order is the
+    oracle's tie-break. Collected ONCE — the engine calls this at
+    init, not per round."""
+    if robots is None:
+        return None
+    rows = robots.select("host", "path_prefix", "allow").collect()
+    by_host: dict[str, list] = {}
+    for r in rows:  # Row order of a collected local relation = input order
+        by_host.setdefault(r["host"], []).append((r["path_prefix"], bool(r["allow"])))
+    data = [(h, rules) for h, rules in by_host.items()]
+    spark = robots.sparkSession
+    return spark.createDataFrame(data, _RULES_SCHEMA)
+
+
+def _is_prepared(robots: DataFrame) -> bool:
+    return "rules" in robots.columns
+
+
 def filter_robots_allowed(
     frontier: DataFrame, robots: DataFrame | None, url_col: str = "canon_url"
 ) -> DataFrame:
     """Keep only frontier rows allowed by robots rules.
 
-    frontier must have ``host``; robots has (host, path_prefix, allow).
-    """
+    frontier must have ``host``; robots is either the raw
+    (host, path_prefix, allow) table or the output of
+    :func:`prepare_robots` (pass the prepared form when calling
+    repeatedly — e.g. per crawl round — to skip the re-collect)."""
     if robots is None:
         return frontier
-    path = path_of(F.col(url_col)).alias("_path")
-    f = frontier.withColumn("_path", path)
-    r = robots.select(
-        F.col("host").alias("_rhost"),
-        F.col("path_prefix").alias("_prefix"),
-        F.col("allow").alias("_allow"),
+    prepped = robots if _is_prepared(robots) else prepare_robots(robots)
+    r = prepped.select(F.col("host").alias("_rhost"), F.col("rules").alias("_rules"))
+    f = frontier.withColumn("_path", path_of(F.col(url_col)))
+    joined = f.join(F.broadcast(r), f["host"] == r["_rhost"], "left")
+    matching = F.filter(
+        F.col("_rules"), lambda rule: F.col("_path").startswith(rule["prefix"])
     )
-    matched = (
-        f.join(F.broadcast(r), (f["host"] == r["_rhost"]), "left")
-        .withColumn(
-            "_hit",
-            F.col("_prefix").isNotNull() & F.col("_path").startswith(F.col("_prefix")),
-        )
-        .groupBy(*[f[c] for c in frontier.columns])
-        .agg(
-            F.max_by(
-                F.col("_allow"), F.when(F.col("_hit"), F.length("_prefix"))
-            ).alias("_decision")
-        )
-        .withColumn("_allowed", F.coalesce(F.col("_decision"), F.lit(True)))
+    # fold in rule order with strict '>' — first longest match wins,
+    # exactly robots_allowed's loop; no matching rule → len -1 stays
+    best = F.aggregate(
+        matching,
+        F.struct(
+            F.lit(-1).alias("len"), F.lit(None).cast("boolean").alias("allow")
+        ),
+        lambda acc, rule: F.when(
+            F.length(rule["prefix"]) > acc["len"],
+            F.struct(
+                F.length(rule["prefix"]).alias("len"), rule["allow"].alias("allow")
+            ),
+        ).otherwise(acc),
     )
-    return matched.filter(F.col("_allowed")).drop("_decision", "_allowed", "_path")
+    # no rules for the host (null array) → null aggregate → default allow
+    return (
+        joined.filter(F.coalesce(best["allow"], F.lit(True)))
+        .drop("_rhost", "_rules", "_path")
+    )

@@ -18,6 +18,8 @@ oracle (list_cosine_similarity) hashes identically.
 
 from __future__ import annotations
 
+import hashlib
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -200,24 +202,46 @@ def neardup_pairs_exact(emb: DataFrame, threshold: float = 0.45) -> DataFrame:
     )
 
 
-def _hyperplane_sign_expr(dim_idx: int, plane: int, emb_col: str) -> str:
-    """Deterministic pseudo-random hyperplane component: weight for
-    (plane, dim) derived from md5 — same formula usable in DuckDB."""
-    return (
-        f"(instr('0123456789abcdef', substr(md5('{plane}_' || cast({dim_idx} as string)), 1, 1)) - 8.5)"
-    )
+def hyperplane_weights(plane: int, dim: int) -> list[float]:
+    """Deterministic pseudo-random hyperplane: weight for (plane, i)
+    is ``instr('0123456789abcdef', substr(md5('{plane}_{i}'), 1, 1))
+    - 8.5`` — i.e. first-hex-digit value - 7.5 — the exact per-row
+    formula round 2 evaluated inside the aggregate lambda. The matrix
+    is a compile-time constant (n_planes × dim), so it is computed
+    ONCE here and embedded as array literals; the DuckDB twin inlines
+    the same numeric literals (identical values → identical hashes)."""
+    return [
+        int(hashlib.md5(f"{plane}_{i}".encode()).hexdigest()[0], 16) - 7.5
+        for i in range(dim)
+    ]
 
 
-def lsh_signature(emb: DataFrame, n_planes: int = 8) -> DataFrame:
+def lsh_signature(
+    emb: DataFrame, n_planes: int = 8, dim: int | None = None
+) -> DataFrame:
     """Sign bits of dot(embedding, pseudo-random hyperplanes) packed
-    into an int bucket key."""
+    into an int bucket key.
+
+    ``dim`` is the (maximum) embedding dimensionality; when None it is
+    probed from one row (a limit-1 job — pass it explicitly in
+    repeated/production use). Rows shorter than ``dim`` use the weight
+    prefix (slice), identical to the old per-row sequence bound."""
+    if dim is None:
+        row = emb.select(F.size("embedding").alias("d")).limit(1).first()
+        dim = int(row["d"]) if row else 0
     acc = F.lit(0)
     for p in range(n_planes):
-        dot = F.expr(
-            "aggregate(transform(sequence(0, size(embedding) - 1),"
-            f" i -> cast(embedding[i] as double) *"
-            f" (instr('0123456789abcdef', substr(md5('{p}_' || cast(i as string)), 1, 1)) - 8.5)),"
-            " cast(0 as double), (a, v) -> a + v)"
+        w = F.array(*[F.lit(x) for x in hyperplane_weights(p, dim)])
+        # same sequential double fold (and FP order) as the round-2
+        # expression: cast each component, multiply, left-fold from 0.0
+        dot = F.aggregate(
+            F.zip_with(
+                F.col("embedding").cast("array<double>"),
+                F.slice(w, 1, F.size("embedding")),
+                lambda x, wi: x * wi,
+            ),
+            F.lit(0.0),
+            lambda a, v: a + v,
         )
         acc = acc + F.when(dot > 0, F.lit(1 << p)).otherwise(0)
     return spread(emb, "vec_id").select("vec_id", "embedding", acc.alias("bucket"))
@@ -225,7 +249,7 @@ def lsh_signature(emb: DataFrame, n_planes: int = 8) -> DataFrame:
 
 def lsh_bucket_topk(
     emb: DataFrame, n_queries: int = 5, k: int = 3, n_planes: int = 8,
-    multiprobe: bool = True,
+    multiprobe: bool = True, dim: int | None = None,
 ) -> DataFrame:
     """LSH-bucketed ANN: candidates share the hyperplane-sign bucket.
 
@@ -237,7 +261,7 @@ def lsh_bucket_topk(
     equi-join (never a Hamming-distance theta-join); each candidate
     has one bucket, so probes can't duplicate a (query, cand) pair.
     """
-    sig = lsh_signature(emb, n_planes)
+    sig = lsh_signature(emb, n_planes, dim=dim)
     q0 = sig.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qv"),

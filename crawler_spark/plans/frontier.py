@@ -99,7 +99,8 @@ from crawler_spark.config import EngineConfig, TaskConfig
 from crawler_spark.functions.parse import make_parse_udf
 from crawler_spark.functions.urlnorm import url_hash_expr, with_canon_host
 from crawler_spark.operators.bloom import ShardedBloom
-from crawler_spark.operators.robots import filter_robots_allowed
+from crawler_spark.operators.robots import filter_robots_allowed, prepare_robots
+from crawler_spark.operators.seenstore import seen_members
 from crawler_spark.sources.tableio import TableIO
 
 FRONTIER_SCHEMA = StructType(
@@ -158,7 +159,10 @@ class FrontierEngine:
                 f"pull_rank band (max {_RANK_CAP - 1}); shard the crawl "
                 "into more rounds instead"
             )
-        self.robots = robots
+        # grouped + collected ONCE (config-scale dim): per-round
+        # filter_robots_allowed calls skip the re-collect and the
+        # decision becomes a broadcast join + codegen fold — no shuffle
+        self.robots = prepare_robots(robots)
         self.workdir = workdir or self.cfg.checkpoint_dir or "/tmp/crawler_spark_work"
         self.corpus = corpus.select("canon_url", "url", "warc_ts", "text")
         self.round = 0
@@ -186,6 +190,12 @@ class FrontierEngine:
         self._bloom_round: int | None = None  # current shard-store round
         self._folded_upto = 0  # last seen round folded into the store
         self._bloom_drop_pending: int | None = None  # old store, dropped at round end
+        # sorted-run compaction state (operators/seenstore.py): round
+        # of the newest `seen_runs` compacted run (None = probe reads
+        # ledger rounds only); old run dropped at round end like the
+        # bloom store (the persisted eligible may still reference it)
+        self._seen_runs_base: int | None = None
+        self._seen_runs_drop_pending: int | None = None
         # rule names are per-task (RuleTree.Trunk per task); dispatch key
         # is "task\x00rule"
         self._flat_rules = {
@@ -212,6 +222,7 @@ class FrontierEngine:
         self._seen_count = 0
         self._ranged_cache: DataFrame | None = None
         self._cand_cache: DataFrame | None = None
+        self._tagged_cache: DataFrame | None = None
         self._bg = None  # lazy 1-worker pool (overlap_seen_write)
         self._any_budget = any(t.budget_count > 0 for t in tasks)
         self._any_items = any(
@@ -353,7 +364,8 @@ class FrontierEngine:
     def _truncate_ledgers(self, upto_round: int) -> None:
         """Drop ledger rounds after ``upto_round`` (stale future state
         when resuming from an older snapshot)."""
-        for name in ("seen", "order", "items", "failures", "lineage"):
+        for name in ("seen", "order", "items", "failures", "lineage",
+                     "seen_runs"):
             self.io.drop_after(name, upto_round)
 
     def _fold_bloom(self, upto_round: int, delta_df: DataFrame | None = None) -> None:
@@ -396,6 +408,59 @@ class FrontierEngine:
             # probe), and a cache-block loss before the frontier
             # materializes would recompute it from the deleted path
             self._bloom_drop_pending = old_round
+
+    # ---------------- sorted-run seen probe ----------------
+    def _use_sorted_probe(self) -> bool:
+        # parquet mode only: the probe reads row groups by path; with
+        # Iceberg the equivalent layout is the table's own
+        # bucketed+sorted spec (sources/tableio.py docstring)
+        return self.cfg.sorted_seen_probe and self.io.mode == "parquet"
+
+    def _seen_run_paths(self) -> list[str]:
+        """Current probe file set: the newest compacted run (covers
+        rounds ≤ its round) plus every ledger round after it. Pinned
+        into the probe plan as literal paths — concurrent writes or
+        deferred drops never shift a built plan."""
+        paths: list[str] = []
+        base = self._seen_runs_base
+        if base is not None:
+            paths += self.io.round_files("seen_runs", base)
+        for r in self.io.rounds("seen"):
+            if base is None or r > base:
+                paths += self.io.round_files("seen", r)
+        return paths
+
+    def _maybe_compact_seen(self, rnd: int) -> None:
+        """LSM compaction: when more than ``seen_compact_every`` ledger
+        rounds have accumulated past the newest run, merge everything
+        ≤ rnd into a few large sorted files. Runs inside the overlapped
+        seen chain; amortized O(seen / k) per round."""
+        k = self.cfg.seen_compact_every
+        if not self._use_sorted_probe() or k <= 0:
+            return
+        base = self._seen_runs_base or 0
+        n_loose = sum(1 for r in self.io.rounds("seen") if r > base)
+        if n_loose <= k:
+            return
+        self._jd("seen-compact")
+        seen_all = self._read_seen_upto(rnd)
+        if seen_all is None:
+            return
+        n_files = max(1, min(16, self._seen_count // 2_000_000 + 1))
+        self.io.write_round(
+            seen_all.select("url_hash"),
+            "seen_runs",
+            rnd,
+            n_files=n_files,
+            sort_within="url_hash",
+        )
+        old = self._seen_runs_base
+        self._seen_runs_base = rnd
+        if old is not None:
+            # deferred: this round's persisted eligible may still
+            # reference the old run's files (same pattern as the
+            # bloom store drop)
+            self._seen_runs_drop_pending = old
 
     # ---------------- seeds ----------------
     def seed_frontier(self) -> DataFrame:
@@ -467,14 +532,35 @@ class FrontierEngine:
                     # 10^10-scale store: cogroup probe — each task
                     # holds one shard, the filter is never assembled
                     tagged = self._sharded.check(e, "url_hash", shards)
+                # three consumers read `tagged` (maybe, new, and the
+                # probe's key projection) — without the persist each
+                # runs the Python filter probe again over the full
+                # frontier (round 2 silently paid it twice)
+                tagged = tagged.persist()
+                self._tagged_cache = tagged  # unpersisted at end of round
                 maybe = tagged.filter(F.col("_maybe_seen")).drop("_maybe_seen")
                 new = tagged.filter(~F.col("_maybe_seen")).drop("_maybe_seen")
-                # maybe-seen rows take the exact anti-join (bloom false
+                # maybe-seen rows take the exact check (bloom false
                 # positives only cost this check); definitely-new rows
                 # still get an exact anti-join against the *unfolded*
                 # recent rounds (bounded by fold_every × batch) so the
                 # filter's coverage never lags the ledger
-                checked = maybe.join(seen.select("url_hash"), "url_hash", "left_anti")
+                if self._use_sorted_probe():
+                    # sorted-run row-group probe: O(maybe · log seen),
+                    # no O(seen) shuffle — the full-ledger anti-join
+                    # below was the last per-round full-ledger cost at
+                    # spec scale (VERDICT r2 #1). `hits` is bounded by
+                    # the maybe keys; AQE broadcasts the anti-join.
+                    hits = seen_members(
+                        maybe.select("url_hash"),
+                        self._seen_run_paths(),
+                        self.cfg.num_partitions,
+                    )
+                    checked = maybe.join(hits, "url_hash", "left_anti")
+                else:
+                    checked = maybe.join(
+                        seen.select("url_hash"), "url_hash", "left_anti"
+                    )
                 if self._folded_upto < self.round:
                     unfolded = seen.filter(
                         F.col("round") > self._folded_upto
@@ -731,6 +817,14 @@ class FrontierEngine:
         serialization of bodies. Equality of the two paths is pinned
         by tests/test_rules.py and by every engine-vs-oracle suite
         (the oracle always interprets parse_page).
+
+        Mixed rule sets run as ONE projection over one pass of `hits`
+        (the unpersisted corpus-join relation — two filtered branches
+        would execute the corpus scan + fetch join once per branch):
+        the Arrow UDF's text argument is masked to NULL for
+        JVM-expressible rows, so their bodies never cross into Python
+        (the UDF's None-text guard returns the empty result, which the
+        outer `when` discards in favor of the codegen expression).
         """
         from crawler_spark.functions.parse import jvm_expressible, jvm_parsed_expr
 
@@ -742,35 +836,31 @@ class FrontierEngine:
             if self.cfg.jvm_parse
             else []
         )
-        have_slow = len(fast) < len(self._flat_rules)
-        branches = []
-        if fast:
-            case = None
-            for k, spec in fast:
-                e = jvm_parsed_expr(spec, F.col("text"))
-                case = F.when(keycol == F.lit(k), e) if case is None else case.when(
-                    keycol == F.lit(k), e
-                )
-            fast_rows = hits
-            if have_slow:
-                fast_rows = hits.filter(keycol.isin([k for k, _ in fast]))
-            branches.append(fast_rows.select(*head, case.alias("parsed")))
-        if have_slow or not fast:
-            slow_rows = hits
-            if fast:
-                slow_rows = hits.filter(~keycol.isin([k for k, _ in fast]))
-            branches.append(
-                slow_rows.select(
-                    *head,
-                    self._parse_udf(
-                        keycol, F.col("req_url"), F.col("text"), F.col("temp")
-                    ).alias("parsed"),
-                )
+        if not fast:
+            return hits.select(
+                *head,
+                self._parse_udf(
+                    keycol, F.col("req_url"), F.col("text"), F.col("temp")
+                ).alias("parsed"),
             )
-        out = branches[0]
-        for b in branches[1:]:
-            out = out.unionByName(b)
-        return out
+        case = None
+        for k, spec in fast:
+            e = jvm_parsed_expr(spec, F.col("text"))
+            case = F.when(keycol == F.lit(k), e) if case is None else case.when(
+                keycol == F.lit(k), e
+            )
+        if len(fast) == len(self._flat_rules):
+            return hits.select(*head, case.alias("parsed"))
+        is_fast = keycol.isin([k for k, _ in fast])
+        slow = self._parse_udf(
+            keycol,
+            F.col("req_url"),
+            F.when(~is_fast, F.col("text")),
+            F.col("temp"),
+        )
+        return hits.select(
+            *head, F.when(is_fast, case).otherwise(slow).alias("parsed")
+        )
 
     def _children(self, parsed: DataFrame):
         base = (self.round) << _ROUND_SHIFT
@@ -985,6 +1075,12 @@ class FrontierEngine:
             self._bloom_round = None
             self._folded_upto = 0
             self._bloom_drop_pending = None
+            # surviving compacted runs ≤ snapshot_round cover only
+            # retained ledger rounds — still valid; probe resumes from
+            # the newest one
+            runs = self.io.rounds("seen_runs")
+            self._seen_runs_base = max(runs) if runs else None
+            self._seen_runs_drop_pending = None
             self._seen_count = seen.count() if seen is not None else 0
         else:
             if os.path.exists(self.workdir):
@@ -1178,6 +1274,9 @@ class FrontierEngine:
                 if self._cand_cache is not None:
                     self._cand_cache.unpersist()
                     self._cand_cache = None
+                if self._tagged_cache is not None:
+                    self._tagged_cache.unpersist()
+                    self._tagged_cache = None
                 break
             if n_batch >= _RANK_CAP:
                 # only reachable with batch_size=0/negative (all
@@ -1232,9 +1331,19 @@ class FrontierEngine:
                 # relation (built after the write so the file listing
                 # sees the new round).
                 self._jd("seen-write")
-                self._ledger_write_df(seen_delta, "seen", rnd, n_files=1)
+                # sorted run: makes the round's file probe-able by the
+                # sorted-seen row-group check (one in-task sort of
+                # ≤ batch rows; plain unsorted append otherwise)
+                self.io.write_round(
+                    seen_delta,
+                    "seen",
+                    rnd,
+                    n_files=1,
+                    sort_within="url_hash" if self._use_sorted_probe() else None,
+                )
                 if fold_due:
                     self._fold_bloom(rnd, delta_df=seen_delta)
+                self._maybe_compact_seen(rnd)
                 return self._read_seen_upto(None)
 
             # these jobs depend only on the persisted batch — overlap
@@ -1390,9 +1499,15 @@ class FrontierEngine:
             if self._cand_cache is not None:
                 self._cand_cache.unpersist()
                 self._cand_cache = None
+            if self._tagged_cache is not None:
+                self._tagged_cache.unpersist()
+                self._tagged_cache = None
             if self._bloom_drop_pending is not None:
                 self.io.drop_round("bloom", self._bloom_drop_pending)
                 self._bloom_drop_pending = None
+            if self._seen_runs_drop_pending is not None:
+                self.io.drop_round("seen_runs", self._seen_runs_drop_pending)
+                self._seen_runs_drop_pending = None
             _t_end = _time.time()
 
             self.metrics.append(

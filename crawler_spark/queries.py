@@ -722,16 +722,20 @@ def q_ann_lsh(spark, sf_dir):
     measures 0.56 recall@5 at 31% candidate fraction on this corpus —
     at larger scale you raise planes and/or add hash tables."""
     return S.lsh_bucket_topk(
-        _t(spark, sf_dir, "embeddings"), n_queries=5, k=3, n_planes=4
+        _t(spark, sf_dir, "embeddings"), n_queries=5, k=3, n_planes=4, dim=64
     )
 
 
-def q_ann_lsh_sql(n_planes: int = 8):
+def q_ann_lsh_sql(n_planes: int = 8, dim: int = 64):
+    # same constant-folded weight matrix as the Spark plan
+    # (S.hyperplane_weights): identical numeric literals on both
+    # sides → identical buckets → identical hashes
+    def wlit(p):
+        return "[" + ", ".join(repr(w) for w in S.hyperplane_weights(p, dim)) + "]"
+
     dots = " + ".join(
         f"""(CASE WHEN list_sum(list_transform(generate_series(0, len(embedding) - 1),
-          i -> CAST(embedding[i + 1] AS DOUBLE)
-             * (instr('0123456789abcdef',
-                      substr(md5('{p}_' || CAST(i AS VARCHAR)), 1, 1)) - 8.5)))
+          i -> CAST(embedding[i + 1] AS DOUBLE) * ({wlit(p)})[i + 1]))
           > 0 THEN {1 << p} ELSE 0 END)"""
         for p in range(n_planes)
     )

@@ -101,27 +101,51 @@ class TableIO:
         return f"{self.catalog}.{ns}.{name}"
 
     # ---------------- writes ----------------
+    # parquet row-group size for sorted-run writes: small groups give
+    # the seen-probe's min/max pruning (operators/seenstore.py) tight
+    # ranges; 4 MB ≈ 10^5 hashes per group
+    _RUN_BLOCK_BYTES = 4 << 20
+
     def write_round(
-        self, df: DataFrame, name: str, round_no: int, n_files: int = 2
+        self,
+        df: DataFrame,
+        name: str,
+        round_no: int,
+        n_files: int = 2,
+        sort_within: str | None = None,
     ) -> None:
         """Append one round to a ledger table. Parquet: one round=<k>
         dir, few files (chmod-exec cost per file on this FS — the read
         side stays parallel through row-group splits). Iceberg: plain
         append with an explicit ``round`` column; the table is
-        partitioned by round so per-round reads prune."""
+        partitioned by round so per-round reads prune.
+
+        ``sort_within``: write each output file sorted by this column
+        with small row groups — makes the round a probe-able sorted
+        run (operators/seenstore.py). Costs one per-file in-task sort
+        of bounded (batch-sized) rows; no extra shuffle beyond the
+        n_files coalesce the plain path already does."""
         if self.mode == "iceberg":
             from pyspark.sql import functions as F
 
             out = df.withColumn("round", F.lit(round_no))
+            if sort_within is not None:
+                out = out.sortWithinPartitions(sort_within)
             tbl = self._tbl(name)
             if not self.spark.catalog.tableExists(tbl):
                 out.writeTo(tbl).partitionedBy(F.col("round")).create()
             else:
                 out.writeTo(tbl).append()
             return
-        df.coalesce(n_files).write.mode("overwrite").parquet(
-            self._p(name, round_no)
-        )
+        if sort_within is not None:
+            out = (
+                df.repartition(n_files)
+                .sortWithinPartitions(sort_within)
+                .write.option("parquet.block.size", str(self._RUN_BLOCK_BYTES))
+            )
+        else:
+            out = df.coalesce(n_files).write
+        out.mode("overwrite").parquet(self._p(name, round_no))
 
     def overwrite_round(self, df: DataFrame, name: str, round_no: int) -> None:
         """Snapshot-table write (the frontier): each round's state is a
@@ -190,6 +214,18 @@ class TableIO:
             int(os.path.basename(d).split("=")[1])
             for d in glob.glob(self._p(name, None) + "/round=*")
         )
+
+    def round_files(self, name: str, round_no: int) -> list[str]:
+        """Data-file paths of one parquet round (the seen-probe reads
+        row groups directly via pyarrow). Parquet mode only — with
+        Iceberg on the classpath the engine uses the table format's
+        own bucketed/sorted layout instead of this probe."""
+        if self.mode == "iceberg":
+            raise NotImplementedError(
+                "round_files is a parquet-mode seam; iceberg tables "
+                "expose files through their own metadata"
+            )
+        return sorted(glob.glob(os.path.join(self._p(name, round_no), "*.parquet")))
 
     def drop_round(self, name: str, round_no: int) -> None:
         """Expire one round (non-durable frontier snapshots are dropped

@@ -79,3 +79,57 @@ def test_engine_matches_oracle_with_robots(spark, workdir):
     # the blocked host was never fetched
     assert all("site0002" not in u for _, u in got)
     assert len(oracle.robots_denied) > 0
+
+
+def test_equal_length_tie_first_rule_wins(spark):
+    """Among equal-length matching prefixes the FIRST rule in input
+    order wins (oracle robots_allowed uses strict '>'): round 2's
+    max_by left this to chance."""
+    from pyspark.sql import functions as F
+
+    from crawler_spark.operators.robots import filter_robots_allowed
+
+    rules = [
+        ("h.com", "/a", False),  # first: deny
+        ("h.com", "/a", True),   # same length: must lose
+        ("h.com", "/bb", True),
+        ("h.com", "/bb", False),
+    ]
+    assert not robots_allowed(rules, "h.com", "/a/x")
+    assert robots_allowed(rules, "h.com", "/bb/x")
+    robots_df = spark.createDataFrame(
+        rules, "host string, path_prefix string, allow boolean"
+    )
+    frontier = spark.createDataFrame(
+        [("h.com", "http://h.com/a/x"), ("h.com", "http://h.com/bb/x")],
+        "host string, canon_url string",
+    )
+    got = sorted(
+        r.canon_url
+        for r in filter_robots_allowed(frontier, robots_df).collect()
+    )
+    assert got == ["http://h.com/bb/x"]
+
+
+def test_robots_filter_plan_has_no_shuffle(spark):
+    """The decision must be broadcast-join + codegen fold: zero
+    Exchange introduced on the frontier side (VERDICT r2 #2)."""
+    from pyspark.sql import functions as F
+
+    from crawler_spark.operators.robots import filter_robots_allowed, prepare_robots
+
+    robots_df = spark.createDataFrame(
+        [("h.com", "/deny", False)],
+        "host string, path_prefix string, allow boolean",
+    )
+    prepped = prepare_robots(robots_df)
+    frontier = spark.range(100).select(
+        F.concat(F.lit("h"), (F.col("id") % 3).cast("string"), F.lit(".com"))
+        .alias("host"),
+        F.concat(F.lit("http://h.com/p/"), F.col("id").cast("string"))
+        .alias("canon_url"),
+    )
+    out = filter_robots_allowed(frontier, prepped)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan.replace("BroadcastExchange", ""), plan
+    assert out.count() == 100

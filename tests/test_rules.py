@@ -200,8 +200,67 @@ def test_pattern_jvm_safe_allowlist():
         r"(?=look)ahead",  # lookaround
         r"^anchor$",       # anchors (multiline drift)
         r"a|b",            # top-level alternation kept off the allowlist
+        r"id=(\d+)",       # bare \d: Python Unicode digits vs Java ASCII
+        r"x(\s+)y",        # bare \s: same Unicode/ASCII split
+        r"[a&&b](c)",      # Java class intersection vs Python literals
+        r"[a[b]c](d)",     # Java nested-class union vs Python literal '['
+        r"a{x}(b)",        # dangling brace: Java PatternSyntaxException
+        r"a{,5}(b)",       # {,n}: Python quantifier, Java error
+        r"(x)?y",          # optional group 1 → "" (JVM) vs None (spec)
+        r"(x)*y",          # same
+        r"(x){0,3}y",      # same
+        r"(?:(x))?a",      # optional ENCLOSING group → same gap
+        r"nogroup",        # parse_page reads m.group(1): must exist
+        r"(a)(b",          # unbalanced group
     ):
         assert not _pattern_jvm_safe(p), p
+    # quantified-but-participating groups and well-formed braces stay in
+    for p in (r"(x)+y", r"(x){1,3}y", r"a{2}([^<]+)", r"(?:ab)+(c)"):
+        assert _pattern_jvm_safe(p), p
+
+
+def test_jvm_compile_gate(spark):
+    """Patterns Java rejects at compile time must fail the runtime gate
+    (→ graceful UDF fallback), never PatternSyntaxException mid-job."""
+    from crawler_spark.functions.parse import _jvm_compiles
+
+    assert _jvm_compiles(r"(?d)abc([^<]+)")
+    assert not _jvm_compiles(r"(?d)a{x}(b)[")
+
+
+def test_jvm_dot_matches_python_on_exotic_newlines(spark):
+    """Java's default '.' excludes \\r \\u0085 \\u2028 \\u2029 that
+    Python's '.' matches; the (?d) UNIX_LINES compile flag closes the
+    gap. Pin byte-identical output on pages containing each of them,
+    plus CRLF line endings (ADVICE r2, high)."""
+    from crawler_spark.config import RuleSpec
+    from crawler_spark.functions.parse import (
+        jvm_expressible,
+        jvm_parsed_expr,
+        parse_page,
+    )
+
+    spec = RuleSpec(
+        name="dot", link_regex=r'<a.*?href="([^"]+)">', next_rule="dot"
+    )
+    assert jvm_expressible(spec)
+    texts = [
+        '<a x="1"\rhref="/cr">',          # \r inside the .*? span
+        '<a x="1"\r\nhref="/crlf">',      # CRLF
+        '<a x="1"\u0085href="/nel">',    # NEL
+        '<a x="1"\u2028href="/ls">',     # LINE SEPARATOR
+        '<a x="1"\u2029href="/ps">',     # PARAGRAPH SEPARATOR
+        '<a x="1"\nhref="/lf">',          # \n: NO match in either engine
+        '<a x="1" href="/plain">',
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = df.select(jvm_parsed_expr(spec, F.col("text")).alias("p")).collect()
+    matched_any = False
+    for t, row in zip(texts, got):
+        exp_reqs, _ = parse_page(spec, "http://req", t, {})
+        assert [r.url for r in row.p.requests] == [r["url"] for r in exp_reqs], t
+        matched_any = matched_any or bool(exp_reqs)
+    assert matched_any  # the exotic-newline pages really do match
 
 
 def test_jvm_parsed_expr_equals_parse_page(spark):

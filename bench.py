@@ -141,8 +141,20 @@ def main():
         "frontier": frontier,
     }
     print(json.dumps(out))
+
+    # regression gate vs the newest recorded round (stderr only — the
+    # stdout one-line JSON contract is what the driver parses)
+    from BENCH.bench_gate import check as gate_check
+
+    warns, fails = gate_check(out, os.path.dirname(os.path.abspath(__file__)))
+    for m in warns:
+        print(f"BENCH GATE WARN  {m}", file=sys.stderr)
+    for m in fails:
+        print(f"BENCH GATE FAIL  {m}", file=sys.stderr)
     shutil.rmtree(workdir, ignore_errors=True)
     spark.stop()
+    if fails and os.environ.get("BENCH_GATE_STRICT") == "1":
+        sys.exit(3)
 
 
 if __name__ == "__main__":

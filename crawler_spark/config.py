@@ -187,6 +187,13 @@ class EngineConfig:
     # Iceberg the same layout comes from bucketed+sorted table spec.
     # Off = the round-2 full-ledger anti-join (identical outputs).
     sorted_seen_probe: bool = True
+    # decode `html` bytes to `text` for fetched rows whose text is
+    # NULL (functions/decode.py — the reference transcodes every body
+    # before parse, collect/collect.go:85-96). A corpus with no text
+    # column always decodes regardless of this flag; pre-decoded
+    # corpora (the input_hint shape) leave it off so all-JVM parse
+    # rounds add no Python stage.
+    decode_html: bool = False
     # compact seen-ledger rounds into a few large sorted runs when
     # more than this many rounds have accumulated since the last
     # compaction (LSM: rounds are level-0 runs, `seen_runs` level-1).

@@ -22,9 +22,11 @@ right-before-left, i.e. a capture stamped exactly t is visible at t
 (<=, matching DuckDB ASOF semantics).
 
 The right side must be unique per (key, ts) for a deterministic
-answer; callers pre-aggregate (queries.py dedups by max) — the
-operator asserts nothing, mirroring DuckDB which picks an arbitrary
-row on ties.
+answer; callers pre-aggregate (queries.py dedups by max). By default
+the operator asserts nothing, mirroring DuckDB which picks an
+arbitrary row on ties; pass ``check_unique=True`` (debug mode — one
+extra aggregation job over the right side) to fail fast on duplicate
+(key, ts) pairs instead of silently returning one of them.
 """
 
 from __future__ import annotations
@@ -40,6 +42,7 @@ def asof_join(
     left_ts: str,
     right_ts: str,
     carry: list[str],
+    check_unique: bool = False,
 ) -> DataFrame:
     """For each left row, append the ``carry`` columns of the latest
     right row with ``right[right_ts] <= left[left_ts]`` on ``key``
@@ -47,6 +50,22 @@ def asof_join(
 
     Output: all left columns + carry columns.
     """
+    if check_unique:
+        dup = (
+            right.groupBy(key, right_ts)
+            .count()
+            .filter(F.col("count") > 1)
+            .limit(1)
+            .collect()
+        )
+        if dup:
+            r = dup[0]
+            raise ValueError(
+                "asof_join right side is not unique per "
+                f"({key}, {right_ts}): e.g. {r[key]!r} @ {r[right_ts]!r} "
+                f"appears {r['count']} times — pre-aggregate the right "
+                "side (keep the wanted row per key+ts) before joining"
+            )
     l_tag = left.select(
         F.col(key).alias("_k"),
         F.col(left_ts).alias("_ts"),

@@ -164,7 +164,22 @@ class FrontierEngine:
         # decision becomes a broadcast join + codegen fold — no shuffle
         self.robots = prepare_robots(robots)
         self.workdir = workdir or self.cfg.checkpoint_dir or "/tmp/crawler_spark_work"
-        self.corpus = corpus.select("canon_url", "url", "warc_ts", "text")
+        # charset decode hook (reference transcodes every fetched body
+        # before parse, collect/collect.go:85-96): a raw-bytes corpus
+        # (html, no text column) always decodes; a pre-decoded corpus
+        # (the input_hint shape) decodes rows with NULL text only when
+        # cfg.decode_html is set — the decode stage is omitted entirely
+        # otherwise so all-JVM parse rounds stay Python-free
+        has_text = "text" in corpus.columns
+        self._decode_html = "html" in corpus.columns and (
+            self.cfg.decode_html or not has_text
+        )
+        if not has_text:
+            corpus = corpus.withColumn("text", F.lit(None).cast("string"))
+        cols = ["canon_url", "url", "warc_ts", "text"]
+        if self._decode_html:
+            cols.append("html")
+        self.corpus = corpus.select(*cols)
         self.round = 0
         self.metrics: list[dict] = []
         self.setup_secs = 0.0
@@ -1184,6 +1199,24 @@ class FrontierEngine:
                     .filter(F.col("_rn") == 1)
                     .drop("_rn")
                 )
+            if self._decode_html:
+                # decode fetched bytes for rows the corpus didn't
+                # pre-decode. The UDF input is masked to NULL when
+                # `text` exists, so bytes cross into Python only for
+                # rows that actually need transcoding; `html` is
+                # dropped before parse/persist (body-width hygiene
+                # below applies to it doubly)
+                from crawler_spark.functions.decode import decode_html_udf
+
+                hits = hits.withColumn(
+                    "text",
+                    F.coalesce(
+                        F.col("text"),
+                        decode_html_udf(
+                            F.when(F.col("text").isNull(), F.col("html"))
+                        ),
+                    ),
+                ).drop("html")
             # page bodies must NOT outlive the parse: `text` is the
             # dominant row width (KBs vs ~100 B of keys), and `parsed`
             # is persisted — caching bodies would hold round-sized

@@ -102,3 +102,40 @@ def test_pagerank_total_mass_conserved_on_regular_graph(spark):
         F.sum("rank").alias("s")
     ).collect()[0].s
     assert total == pytest.approx(6.0, rel=1e-9)
+
+
+def test_asof_tie_at_equal_ts_is_visible(spark):
+    """A right row stamped exactly at the left ts is visible (<=,
+    right-before-left in the window order) — DuckDB ASOF semantics."""
+    from crawler_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [("k", 10), ("k", 9)], "key string, ts long"
+    )
+    right = spark.createDataFrame(
+        [("k", 10, "at10"), ("k", 5, "at5")], "key string, rts long, v string"
+    )
+    rows = {r.ts: r.v for r in asof_join(
+        left, right, "key", "ts", "rts", ["v"]
+    ).collect()}
+    assert rows == {10: "at10", 9: "at5"}
+
+
+def test_asof_check_unique_raises_on_dup(spark):
+    from crawler_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([("k", 10)], "key string, ts long")
+    right = spark.createDataFrame(
+        [("k", 5, "a"), ("k", 5, "b"), ("k", 3, "c")],
+        "key string, rts long, v string",
+    )
+    import pytest
+
+    with pytest.raises(ValueError, match="not unique"):
+        asof_join(left, right, "key", "ts", "rts", ["v"], check_unique=True)
+    # unique right passes the gate and answers normally
+    ok = asof_join(
+        left, right.filter("v != 'b'"), "key", "ts", "rts", ["v"],
+        check_unique=True,
+    ).collect()
+    assert [(r.ts, r.v) for r in ok] == [(10, "a")]

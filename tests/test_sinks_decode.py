@@ -138,3 +138,40 @@ def test_multimodal_frames_and_resize(spark):
         else:
             assert (r.out_width, r.out_height) == (r.width, r.height)
             assert r.scale == "1.000000"
+
+
+def test_frontier_decodes_bytes_only_corpus(spark, workdir):
+    """An html-bytes corpus (text all NULL) must crawl identically to
+    the oracle fed the decoded text — the `html binary` column of the
+    input_hint schema flows through decode_html_udf end-to-end
+    (reference transcodes before parse, collect/collect.go:85-96).
+    Includes a latin-1 page to exercise the fallback branch."""
+    from crawler_spark.plans.oracle import GoOracle
+    from crawler_spark.sources.corpus import generic_task
+    from tests.test_frontier import assert_equivalent
+
+    pdf = build_corpus_pdf(
+        seed=7, n_generic=40, n_hosts=4, out_degree=4,
+        n_lists=0, books_per_list=0, n_topics=0,
+    )
+    # wipe text; bodies live only as bytes (one page latin-1-encoded)
+    enc = ["latin-1" if i == 3 else "utf-8" for i in range(len(pdf))]
+    pdf["html"] = [
+        t.replace("page", "págé").encode(e, errors="replace") if e == "latin-1"
+        else t.encode()
+        for t, e in zip(pdf["text"], enc)
+    ]
+    pdf["text"] = None
+    corpus = spark.createDataFrame(pdf, CORPUS_SCHEMA)
+    cfg = EngineConfig(batch_size=8, num_partitions=4, use_bloom=False,
+                       decode_html=True)
+    tasks = [generic_task(max_depth=3)]
+    eng = FrontierEngine(spark, tasks, corpus, cfg, workdir=workdir)
+    eng.run(max_rounds=20)
+    oracle = GoOracle(
+        tasks,
+        {u: decode_html_bytes(h) for u, h in zip(pdf["canon_url"], pdf["html"])},
+        batch_size=8,
+        max_rounds=20,
+    ).run()
+    assert_equivalent(eng, oracle)

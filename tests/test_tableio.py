@@ -92,3 +92,147 @@ def test_layout_matches_pre_refactor_engine_format(spark, workdir):
     io = TableIO(spark, workdir, mode="parquet")
     assert io.rounds("seen") == [7]
     assert io.read("seen").collect()[0]["round"] == 7
+
+
+# ------------------------------------------------------------------
+# Iceberg-mode smoke coverage (VERDICT r2 #7): no iceberg-spark-runtime
+# jar exists in this sandbox (SURVEY §7 R1), so the branch is driven
+# against a Python stand-in catalog that implements the exact
+# DataFrameWriterV2 / SQL surface TableIO touches (create / append /
+# overwritePartitions / DELETE / DROP). When the jar IS present the
+# live test below runs instead of skipping.
+# ------------------------------------------------------------------
+
+
+class _FakeWriterV2:
+    def __init__(self, store, df, tbl):
+        self._store, self._df, self._tbl = store, df, tbl
+
+    def partitionedBy(self, col):
+        return self
+
+    def create(self):
+        assert self._tbl not in self._store, "create over existing table"
+        self._store[self._tbl] = self._df
+
+    def append(self):
+        self._store[self._tbl] = self._store[self._tbl].unionByName(self._df)
+
+    def overwritePartitions(self):
+        from pyspark.sql import functions as F
+
+        old = self._store[self._tbl]
+        rounds = [r["round"] for r in self._df.select("round").distinct().collect()]
+        kept = old.filter(~F.col("round").isin(rounds))
+        self._store[self._tbl] = kept.unionByName(self._df)
+
+
+class _FakeCatalog:
+    def __init__(self, store):
+        self._store = store
+
+    def tableExists(self, tbl):
+        return tbl in self._store
+
+
+class _FakeIcebergSession:
+    """The slice of SparkSession TableIO's iceberg branch touches,
+    backed by an in-memory {table: DataFrame} store."""
+
+    def __init__(self, spark):
+        self._spark = spark
+        self.store = {}
+        self.catalog = _FakeCatalog(self.store)
+        self.sqls = []
+
+    def createDataFrame(self, *a, **kw):
+        return self._spark.createDataFrame(*a, **kw)
+
+    def table(self, tbl):
+        return self.store[tbl]
+
+    def sql(self, q):
+        import re as _re
+
+        from pyspark.sql import functions as F
+
+        self.sqls.append(q)
+        m = _re.match(r"DELETE FROM (\S+) WHERE round (=|>) (\d+)", q)
+        if m:
+            tbl, op, k = m.group(1), m.group(2), int(m.group(3))
+            if tbl in self.store:
+                cond = (
+                    F.col("round") != k if op == "=" else ~(F.col("round") > k)
+                )
+                self.store[tbl] = self.store[tbl].filter(cond)
+            return
+        m = _re.match(r"DROP TABLE IF EXISTS (\S+)", q)
+        if m:
+            self.store.pop(m.group(1), None)
+            return
+        raise AssertionError(f"unexpected SQL in iceberg branch: {q}")
+
+
+def _patched_writeTo(monkeypatch, fake, spark):
+    # patch the CONCRETE DataFrame class (pyspark 4 puts the classic
+    # implementation behind the pyspark.sql.DataFrame ABC)
+    cls = type(spark.range(1))
+    monkeypatch.setattr(
+        cls, "writeTo", lambda df, tbl: _FakeWriterV2(fake.store, df, tbl)
+    )
+
+
+def test_iceberg_branch_smoke_with_stub_catalog(spark, workdir, monkeypatch):
+    import pandas as pd
+
+    fake = _FakeIcebergSession(spark)
+    _patched_writeTo(monkeypatch, fake, spark)
+    io = TableIO.__new__(TableIO)
+    io.spark, io.root, io.catalog, io.mode = fake, workdir, "crawler", "iceberg"
+
+    df1 = spark.createDataFrame(pd.DataFrame({"url_hash": ["a", "b"]}))
+    df2 = spark.createDataFrame(pd.DataFrame({"url_hash": ["c"]}))
+    io.write_round(df1, "seen", 1, n_files=1)          # create
+    io.write_round(df2, "seen", 2, sort_within="url_hash")  # append + sort
+    assert io.exists("seen") and io.rounds("seen") == [1, 2]
+    assert io.read_round("seen", 2).columns == ["url_hash"]
+    assert {r.url_hash for r in io.read_round("seen", 2).collect()} == {"c"}
+    assert io.read("seen").count() == 3
+
+    # snapshot semantics: overwritePartitions replaces the round
+    io.overwrite_round(df1, "frontier", 5)
+    io.overwrite_round(df2, "frontier", 5)
+    assert {r.url_hash for r in io.read_round("frontier", 5).collect()} == {"c"}
+
+    # lifecycle: DELETE-by-round, truncate-after, drop
+    io.drop_round("seen", 1)
+    assert io.rounds("seen") == [2]
+    io.write_round(df1, "seen", 3)
+    io.drop_after("seen", 2)
+    assert io.rounds("seen") == [2]
+    io.drop_table("seen")
+    assert not io.exists("seen")
+    # bounded pandas append goes through the same session write
+    io.write_round_pandas(pd.DataFrame({"x": [1]}), "lineage", 1)
+    assert io.rounds("lineage") == [1]
+    assert any("DELETE FROM" in q for q in fake.sqls)
+
+
+def test_iceberg_branch_live_roundtrip(spark, workdir):
+    """Runs only with iceberg-spark-runtime on the classpath — the
+    sandbox skips LOUDLY (SURVEY §7 R1); CI with the jar exercises the
+    real catalog."""
+    import pytest
+
+    from crawler_spark.sources.tableio import iceberg_available
+
+    if not iceberg_available(spark):
+        pytest.skip(
+            "iceberg-spark-runtime jar not on classpath (sandbox SURVEY §7 "
+            "R1) — iceberg branch covered by the stub-catalog smoke test"
+        )
+    io = TableIO(spark, workdir, mode="iceberg")
+    df = spark.range(3).withColumnRenamed("id", "url_hash")
+    io.write_round(df, "seen", 1, n_files=1)
+    assert io.rounds("seen") == [1]
+    io.drop_table("seen")

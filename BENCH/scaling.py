@@ -82,6 +82,9 @@ cfg = EngineConfig(batch_size=batch, num_partitions=max(1, int(cores * _mult)),
                    bloom_min_seen=1, use_bloom=True,
                    frontier_base_every=int(_os.environ.get("SCALING_BASE_EVERY", "4")),
                    jvm_parse=_os.environ.get("SCALING_JVM_PARSE", "1") == "1",
+                   sorted_seen_probe=_os.environ.get("SCALING_SORTED_PROBE", "1") == "1",
+                   rank_window_max=int(_os.environ.get("SCALING_RANK_WINDOW", str(1 << 19))),
+                   bloom_fold_every=int(_os.environ.get("SCALING_FOLD_EVERY", "1")),
                    bloom_capacity=max(pages * 2, 1 << 20), checkpoint_every=0)
 task = generic_task(max_depth=64, n_seeds=batch, n_hosts=n_hosts)
 eng = FrontierEngine(spark, [task], corpus, cfg,
@@ -121,6 +124,7 @@ scheduled = sum(m["batch"] for m in eng.metrics)
 print("RESULT " + json.dumps({{
     "cores": cores, "pages": pages, "batch": batch,
     "shuffle_mult": _mult, "setup_s": eng.setup_secs,
+    "setup_breakdown": getattr(eng, "setup_breakdown", {{}}),
     "rounds": len(eng.metrics), "urls": scheduled,
     "secs": round(dt, 2), "urls_per_sec": round(scheduled / dt, 1),
     "cpu": {{"user_s": round(du / 100, 1), "sys_s": round(ds / 100, 1),

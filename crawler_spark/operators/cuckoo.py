@@ -81,6 +81,20 @@ def _key_words(vals) -> tuple[np.ndarray, np.ndarray]:
     return h1, f
 
 
+def _hf_from_words(ha, hb) -> tuple[np.ndarray, np.ndarray]:
+    """(h1, f) from JVM-precomputed u64 word columns
+    (operators/bloom.py:word_exprs): h1 is the first half verbatim,
+    the fingerprint comes from hex[16:24] = the HIGH 32 bits of the
+    second half — bit-identical to _key_words, minus the per-key
+    int(v, 16) parse."""
+    from crawler_spark.operators.bloom import _u64
+
+    hau = _u64(ha)
+    hbu = _u64(hb)
+    f = ((hbu >> np.uint64(32)) % _FP_MASK) + np.uint64(1)
+    return hau, f
+
+
 class CuckooFilter:
     """One shard: a (m × 4) uint16 table + an overflow stash."""
 
@@ -125,7 +139,15 @@ class CuckooFilter:
         vals = list(values)
         if not vals:
             return
-        h1, f = _key_words(vals)
+        self._insert_hf(*_key_words(vals))
+
+    def insert_words(self, ha, hb) -> None:
+        """insert from JVM-precomputed word columns (word_exprs)."""
+        if len(ha):
+            self._insert_hf(*_hf_from_words(ha, hb))
+
+    def _insert_hf(self, h1: np.ndarray, f: np.ndarray) -> None:
+        vals = h1  # per-key loop bound below
         i1 = self._i1(h1)
         tab = self.table.reshape(self.m, _BUCKET)
         stash_new: list[int] = []
@@ -187,7 +209,16 @@ class CuckooFilter:
         vals = values.fillna("").tolist()
         if not vals:
             return pd.Series([], dtype=bool, index=values.index)
-        h1, f = _key_words(vals)
+        hit = self._contains_hf(*_key_words(vals))
+        return pd.Series(hit, index=values.index)
+
+    def contains_words(self, ha, hb) -> np.ndarray:
+        """membership from JVM-precomputed word columns (word_exprs)."""
+        if not len(ha):
+            return np.zeros(0, dtype=bool)
+        return self._contains_hf(*_hf_from_words(ha, hb))
+
+    def _contains_hf(self, h1: np.ndarray, f: np.ndarray) -> np.ndarray:
         i1 = self._i1(h1)
         i2 = self._partner(i1, f)
         tab = self.table.reshape(self.m, _BUCKET)
@@ -197,7 +228,7 @@ class CuckooFilter:
         ).any(axis=1)
         if len(self.stash):
             hit |= np.isin(self._stash_keys(i1, f), self.stash)
-        return pd.Series(hit, index=values.index)
+        return hit
 
     def delete_many(self, values) -> None:
         """Remove ONE copy of each key's (bucket, fingerprint). Safe
@@ -269,16 +300,20 @@ class ShardedCuckoo:
 
         def mk(pdf: pd.DataFrame) -> pd.DataFrame:
             cf = CuckooFilter(cap)
-            cf.insert_many(pdf[hash_col].tolist())
+            cf.insert_words(pdf["_ha"].to_numpy(), pdf["_hb"].to_numpy())
             return pd.DataFrame(
                 {"shard": [int(pdf["_shard"].iloc[0])], "bits": [cf.to_bytes()]}
             )
 
-        from crawler_spark.operators.bloom import SHARD_STORE_SCHEMA
+        from crawler_spark.operators.bloom import SHARD_STORE_SCHEMA, word_exprs
 
+        ha_e, hb_e = word_exprs(hash_col)
         return (
-            hashes_df.select(hash_col)
-            .withColumn("_shard", self._shard_expr(hash_col))
+            hashes_df.select(
+                self._shard_expr(hash_col).alias("_shard"),
+                ha_e.alias("_ha"),
+                hb_e.alias("_hb"),
+            )
             .groupBy("_shard")
             .applyInPandas(mk, SHARD_STORE_SCHEMA)
         )
@@ -295,14 +330,18 @@ class ShardedCuckoo:
                 else CuckooFilter(cap)
             )
             if len(keys_pdf):
-                cf.insert_many(keys_pdf[hash_col].tolist())
+                cf.insert_words(
+                    keys_pdf["_ha"].to_numpy(), keys_pdf["_hb"].to_numpy()
+                )
             return pd.DataFrame({"shard": [int(key[0])], "bits": [cf.to_bytes()]})
 
-        from crawler_spark.operators.bloom import SHARD_STORE_SCHEMA
+        from crawler_spark.operators.bloom import SHARD_STORE_SCHEMA, word_exprs
 
-        delta = (
-            delta_hashes_df.select(hash_col)
-            .withColumn("_shard", self._shard_expr(hash_col))
+        ha_e, hb_e = word_exprs(hash_col)
+        delta = delta_hashes_df.select(
+            self._shard_expr(hash_col).alias("_shard"),
+            ha_e.alias("_ha"),
+            hb_e.alias("_hb"),
         )
         return (
             old_shards_df.groupBy("shard")
@@ -324,26 +363,30 @@ class ShardedCuckoo:
         state: dict = {}
 
         @F.pandas_udf(BooleanType())
-        def probe(vals: pd.Series) -> pd.Series:
+        def probe(ha: pd.Series, hb: pd.Series) -> pd.Series:
             if "f" not in state:
                 state["f"] = {
                     s: CuckooFilter.from_bytes(cap, b)
                     for s, b in bc.value.items()
                 }
             filters = state["f"]
-            sh = np.fromiter(
-                (int(v[:8], 16) % P for v in vals),
-                dtype=np.int64,
-                count=len(vals),
-            )
-            out = pd.Series(False, index=vals.index)
-            for s, grp in vals.groupby(sh):
+            from crawler_spark.operators.bloom import _u64
+
+            hau = _u64(ha.to_numpy())
+            hbu = hb.to_numpy()
+            sh = ((hau >> np.uint64(32)) % np.uint64(P)).astype(np.int64)
+            out = np.zeros(len(hau), dtype=bool)
+            for s in np.unique(sh):
                 cf = filters.get(int(s))
                 if cf is not None:
-                    out.loc[grp.index] = cf.contains_series(grp).values
-            return out
+                    m = sh == s
+                    out[m] = cf.contains_words(hau[m], hbu[m])
+            return pd.Series(out, index=ha.index)
 
-        return df.withColumn("_maybe_seen", probe(F.col(hash_col)))
+        from crawler_spark.operators.bloom import word_exprs
+
+        ha_e, hb_e = word_exprs(hash_col)
+        return df.withColumn("_maybe_seen", probe(ha_e, hb_e))
 
     def check(self, df, hash_col: str, shards_df, replicate: int | None = None):
         from pyspark.sql import functions as F
@@ -363,15 +406,20 @@ class ShardedCuckoo:
                 left["_maybe_seen"] = False
             else:
                 cf = CuckooFilter.from_bytes(cap, bytes(right["bits"].iloc[0]))
-                left["_maybe_seen"] = cf.contains_series(left[hash_col]).values
-            return left.drop(columns=["_shard", "_sub"])
+                left["_maybe_seen"] = cf.contains_words(
+                    left["_ha"].to_numpy(), left["_hb"].to_numpy()
+                )
+            return left.drop(columns=["_shard", "_sub", "_ha", "_hb"])
 
+        from crawler_spark.operators.bloom import word_exprs
+
+        ha_e, hb_e = word_exprs(hash_col)
         tagged = df.withColumn(
             "_shard", self._shard_expr(hash_col)
         ).withColumn(
             "_sub",
             F.pmod(F.xxhash64(F.col(hash_col)), F.lit(replicate)).cast("int"),
-        )
+        ).withColumn("_ha", ha_e).withColumn("_hb", hb_e)
         shards_rep = shards_df.select(
             "shard",
             "bits",

@@ -183,6 +183,7 @@ class FrontierEngine:
         self.round = 0
         self.metrics: list[dict] = []
         self.setup_secs = 0.0
+        self.setup_breakdown: dict = {}
         # seen prefilter backend: bloom or cuckoo (north_rule names
         # both), same store schema / fold cadence / probe tiers —
         # cfg.seen_filter swaps only the per-shard membership kernel
@@ -548,11 +549,17 @@ class FrontierEngine:
                     # holds one shard, the filter is never assembled
                     tagged = self._sharded.check(e, "url_hash", shards)
                 # three consumers read `tagged` (maybe, new, and the
-                # probe's key projection) — without the persist each
-                # runs the Python filter probe again over the full
-                # frontier (round 2 silently paid it twice)
+                # probe's key projection): persist + EAGER count so the
+                # downstream exchanges read the cache instead of
+                # re-running the frontier scan + filter probe per
+                # branch. A/B at the 2M/600k scaling shape (best-of-2
+                # interleaved): eager 147.2 s / 480 user-cpu-s,
+                # lazy-persist 146.9 s / 483, no-persist 153.8 s / 509
+                # — eager is lowest-CPU and keeps round-1 select flat
                 tagged = tagged.persist()
                 self._tagged_cache = tagged  # unpersisted at end of round
+                self._jd("eligible:probe")
+                tagged.count()
                 maybe = tagged.filter(F.col("_maybe_seen")).drop("_maybe_seen")
                 new = tagged.filter(~F.col("_maybe_seen")).drop("_maybe_seen")
                 # maybe-seen rows take the exact check (bloom false
@@ -814,10 +821,24 @@ class FrontierEngine:
         unbounded/huger batches fall back to a plain join (on a real
         cluster that join is co-partitioned with the frontier's
         url_hash layout)."""
-        keys = ranked.select("url_hash", "seq", "pull_rank")
+        # binary (unhex) key halves the driver-built broadcast bytes —
+        # the collect+rebroadcast is round-serial (same rationale as
+        # the fetch semi-key); seq alone would suffice for uniqueness
+        # but the hash keeps the join co-partitionable with a
+        # url_hash-bucketed frontier on a real cluster
+        keys = ranked.select(
+            F.unhex("url_hash").alias("_k16"),
+            F.col("seq").alias("_kseq"),
+            "pull_rank",
+        )
         if 0 < self.cfg.batch_size <= self.cfg.keys_broadcast_max:
             keys = F.broadcast(keys)
-        return eligible.select(_FRONTIER_COLS).join(keys, ["url_hash", "seq"])
+        e = eligible.select(_FRONTIER_COLS)
+        return e.join(
+            keys,
+            (F.unhex(e["url_hash"]) == keys["_k16"])
+            & (e["seq"] == keys["_kseq"]),
+        ).drop("_k16", "_kseq")
 
     def _parse_plan(self, hits: DataFrame) -> DataFrame:
         """The per-round ``parsed`` relation, split by rule kind.
@@ -1101,7 +1122,12 @@ class FrontierEngine:
             if os.path.exists(self.workdir):
                 shutil.rmtree(self.workdir)
             os.makedirs(self.workdir, exist_ok=True)
-            frontier = self._materialize_frontier(self.seed_frontier(), 0)
+            _t_seedgen = _time.time()
+            seeds = self.seed_frontier()
+            self.setup_breakdown = {"seed_build": round(_time.time() - _t_seedgen, 2)}
+            _t_snap = _time.time()
+            frontier = self._materialize_frontier(seeds, 0)
+            self.setup_breakdown["seed_snapshot"] = round(_time.time() - _t_snap, 2)
             seen = None
             self.round = 0
             self._base_round = 0
@@ -1177,9 +1203,18 @@ class FrontierEngine:
             if bsz and 0 < bsz <= self.cfg.fetch_broadcast_max:
                 hits = self.corpus.join(F.broadcast(probe), "canon_url", "inner")
             elif bsz and 0 < bsz <= self.cfg.keys_broadcast_max:
+                # semi-filter key = the 16-byte md5 of the canonical
+                # url (unhex of the batch's url_hash), not the
+                # ~60 B canon_url string: the driver-built broadcast is
+                # the round's serial floor (BASELINE.md), and binary
+                # hashes cut its size ~4×. The corpus side derives the
+                # same bytes in codegen (url_hash_expr — md5 equality
+                # stands in for url equality exactly as it does for the
+                # whole seen set)
+                k16 = F.unhex(F.col("url_hash")).alias("_k16")
                 fetched_pages = self.corpus.join(
-                    F.broadcast(probe.select("canon_url")),
-                    "canon_url",
+                    F.broadcast(probe.select(k16)),
+                    F.unhex(url_hash_expr(F.col("canon_url"))) == F.col("_k16"),
                     "semi",
                 )
                 hits = fetched_pages.join(probe, "canon_url", "inner")

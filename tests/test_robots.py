@@ -133,3 +133,102 @@ def test_robots_filter_plan_has_no_shuffle(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan.replace("BroadcastExchange", ""), plan
     assert out.count() == 100
+
+
+def test_explicit_rule_order_overrides_physical_order(spark):
+    """ADVICE r3: collect() order is partition order, so a shuffled or
+    file-backed rule table must carry a ``rule_order`` column; the
+    oracle's first-rule-in-input-order tie-break follows it, not the
+    physical row order."""
+    from pyspark.sql import functions as F
+
+    from crawler_spark.operators.robots import filter_robots_allowed
+
+    rules_in_order = [
+        ("h.com", "/a", False, 0),  # first in input order: deny wins
+        ("h.com", "/a", True, 1),
+    ]
+    # physically REVERSED relative to rule_order
+    robots_df = spark.createDataFrame(
+        list(reversed(rules_in_order)),
+        "host string, path_prefix string, allow boolean, rule_order int",
+    ).coalesce(1)
+    frontier = spark.createDataFrame(
+        [("h.com", "http://h.com/a/x")], "host string, canon_url string"
+    )
+    assert filter_robots_allowed(frontier, robots_df).count() == 0
+    # same table without rule_order follows physical order → allow wins
+    no_order = robots_df.drop("rule_order")
+    assert filter_robots_allowed(frontier, no_order).count() == 1
+
+
+# ---------- property fuzz: Spark plan == executable spec ----------
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_HOSTS = ["h.com", "x.example", "bücher.example", "h.com:8080", "a-b.c"]
+_PREFIXES = ["", "/", "/a", "/a/b", "/pub", "/üni", "/r?u=http://b.com", "?q"]
+_PATHS = [
+    "", "/", "/x", "/a/b/c", "/pub/x", "/üni/page",
+    "/r?u=http://b.com/x", "/r?u=https://b.com", "?q=1", "/a?x=1&y=2",
+    "//double/slash", "/a#frag",
+]
+_SCHEMES = ["http://", "https://", ""]
+
+
+@st.composite
+def _robots_case(draw):
+    rules = draw(
+        st.lists(
+            st.tuples(
+                st.sampled_from(_HOSTS),
+                st.sampled_from(_PREFIXES),
+                st.booleans(),
+            ),
+            max_size=8,
+        )
+    )
+    reqs = draw(
+        st.lists(
+            st.tuples(
+                st.sampled_from(_HOSTS),
+                st.sampled_from(_SCHEMES),
+                st.sampled_from(_PATHS),
+            ),
+            min_size=1,
+            max_size=20,
+        )
+    )
+    return rules, reqs
+
+
+@given(_robots_case())
+@settings(max_examples=15, deadline=None)
+def test_filter_matches_oracle_fuzzed(spark, case):
+    """filter_robots_allowed (broadcast join + codegen longest-prefix
+    fold + path_of) must agree with plans/oracle.robots_allowed over
+    fuzzed URLs: embedded URLs, ports, empty/unicode paths and hosts
+    (VERDICT r3 #8)."""
+    from crawler_spark.operators.robots import filter_robots_allowed
+    from crawler_spark.plans.oracle import _path_of
+
+    rules, reqs = case
+    urls = [
+        (i, host, f"{scheme}{host}{path}")
+        for i, (host, scheme, path) in enumerate(reqs)
+    ]
+    frontier = spark.createDataFrame(
+        urls, "rid int, host string, canon_url string"
+    )
+    robots_df = spark.createDataFrame(
+        [(h, p, a, i) for i, (h, p, a) in enumerate(rules)],
+        "host string, path_prefix string, allow boolean, rule_order int",
+    )
+    got = {
+        r.rid for r in filter_robots_allowed(frontier, robots_df).collect()
+    }
+    exp = {
+        i for i, host, url in urls if robots_allowed(rules, host, _path_of(url))
+    }
+    assert got == exp, (rules, urls, got ^ exp)

@@ -78,3 +78,27 @@ def test_lsh_scores_are_true_cosines(emb, bf_topk):
     }
     for r in S.lsh_bucket_topk(emb, NQ, K, n_planes=4).collect():
         assert bf_scores[(r.query_id, r.cand_id)] == r.score
+
+
+def test_lsh_signature_default_dim_is_max_and_cached(spark):
+    """ADVICE r3: the default-dim probe must use max(size(embedding))
+    — an arbitrary row shorter than the longest embedding would
+    null-pad zip_with and zero sign bits on mixed-dimension inputs —
+    and repeated calls on the same frame must not re-run the job."""
+    rows = [
+        (0, [1.0, -2.0, 3.0]),
+        (1, [1.0, -2.0, 3.0, 4.0, -5.0]),  # longer than row 0
+        (2, [-1.0, 2.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    explicit = {
+        r.vec_id: r.bucket
+        for r in S.lsh_signature(emb, n_planes=4, dim=5).collect()
+    }
+    probed = {
+        r.vec_id: r.bucket for r in S.lsh_signature(emb, n_planes=4).collect()
+    }
+    assert probed == explicit
+    assert None not in explicit.values()
+    assert S._probed_dim(emb) == 5  # cached from the call above
+    assert S._DIM_CACHE.get(emb) == 5

@@ -12,6 +12,16 @@ Used by bench.py at the end of every run (messages to stderr; the
 one-line JSON contract on stdout is untouched). Exit-on-fail only with
 BENCH_GATE_STRICT=1 so the per-round driver bench never breaks on a
 noisy neighbor window.
+
+Known false-positive mode (VERDICT r3 #3, now mitigated): the FIRST
+execution of a query in a fresh JVM pays whole-stage-codegen
+compilation + class loading + Python-worker spin-up — 3-6× the steady
+state for sub-second queries (measured: bigram_topk 6.5 s cold vs
+1.0-1.4 s warm, robots_filter 3.4 s vs 1.1 s). bench.py therefore runs
+one untimed warm pass per query before the timed best-of-2, so the
+numbers this gate compares are steady-state on both sides. Cross-round
+comparisons against pre-warm-pass baselines (r3 and older) can still
+read warm-vs-cold for queries that were first-in-suite then.
 """
 
 from __future__ import annotations

@@ -112,10 +112,21 @@ def main():
     frontier = bench_frontier(spark, cpus, workdir)
     spark.catalog.clearCache()  # crawl state must not tax the queries
 
-    # best-of-2 per query, same shared-host noise control as the crawl
-    # legs: identical queries measured minutes apart vary up to 3× with
-    # neighbor load, and round-over-round BENCH comparisons need the
-    # engine's number, not the window's
+    # one untimed WARM pass per query before any timing: the first
+    # execution of a query in a fresh JVM pays codegen compilation,
+    # class loading, and Python-worker spin-up that the regression gate
+    # would misread as plan regressions (VERDICT r3 adjudicated two such
+    # cold-path false positives: robots_filter 3.4 s cold / 1.1 s warm,
+    # bigram_topk 6.5 s cold / 1.0-1.4 s warm) — the gate must compare
+    # steady state
+    for name in BENCH_QUERIES:
+        QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        spark.catalog.clearCache()
+
+    # then best-of-2 per query, same shared-host noise control as the
+    # crawl legs: identical queries measured minutes apart vary up to 3×
+    # with neighbor load, and round-over-round BENCH comparisons need
+    # the engine's number, not the window's
     query_secs = {}
     for trial in range(2):
         for name in BENCH_QUERIES:

@@ -210,6 +210,23 @@ class EngineConfig:
     # O(seen / k) per round, overlapped with the frontier snapshot.
     # 0 = never compact.
     seen_compact_every: int = 64
+    # contiguous hash bands for compacted seen runs (seenstore.band_expr):
+    # runs are written one directory per band and each probe task opens
+    # ONLY its band's files + the loose ledger rounds, so per-task file
+    # opens and cached row-group stats are O(seen / bands), independent
+    # of total run count (VERDICT r3 #3). At the spec's 10^10 hashes,
+    # raise with seen size (bands ≈ store_size / ~5 GB keeps a band's
+    # stats per worker trivial).
+    seen_bands: int = 16
+    # leveled compaction wave count: each compaction event rewrites only
+    # the most-stale 1/waves of the bands (one wave group), triggered
+    # every ~seen_compact_every/waves loose rounds — so every band still
+    # compacts about every seen_compact_every rounds, but the largest
+    # single write wave is O(seen / waves) instead of one full-seen
+    # rewrite (at 10^10 hashes: ~80 GB per wave instead of a ~320 GB
+    # single-wave rewrite every 64 rounds). 1 = compact all bands at
+    # once (the round-3 behavior, banded layout).
+    seen_compact_waves: int = 4
     # writer-task cap for the per-round frontier snapshot:
     # min(snapshot_writers, num_partitions) reduce/writer partitions.
     # The old cap of 8 idled half a 16-core leg during t_frontier

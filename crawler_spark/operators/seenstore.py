@@ -8,17 +8,22 @@ engine's O(1) ``Visited`` map lookup (engine/schedule.go:272-275):
 
 - every seen-ledger round is written as a SORTED parquet run
   (``TableIO.write_round(..., sort_within="url_hash")``), and a
-  background compaction periodically merges all rounds into a few
-  large sorted runs (LSM shape: ledger rounds are level-0, the
-  compacted ``seen_runs`` table is level-1);
-- the exact check groups the (bounded) maybe-seen keys by the same
-  md5-prefix shard id as the bloom store and, inside one
-  ``applyInPandas`` stage, each task probes ONLY the parquet ROW
-  GROUPS whose [min, max] url_hash statistics contain one of its keys
-  (binary search per row group; runs are sorted so the ranges are
-  tight). Row-group statistics are cached per file in the (reused)
-  Python worker, so steady-state probes touch only data pages that
-  actually contain a probed key;
+  background compaction periodically merges rounds into large sorted
+  runs (LSM shape: ledger rounds are level-0, the compacted
+  ``seen_runs`` table is level-1);
+- level-1 runs are BAND-PARTITIONED (VERDICT r3 #3): ``band_expr``
+  maps the md5-prefix of a key to one of ``n_bands`` contiguous hash
+  bands, compacted runs are written one directory per band
+  (``round=<k>/band=<b>/``), and the probe groups keys by the same
+  band — so each probe task opens ONLY its band's run files plus the
+  (bounded) loose level-0 rounds, making per-task file count and
+  cached row-group stats O(per-band), independent of total seen size;
+- inside one ``applyInPandas`` stage, each task probes only the
+  parquet ROW GROUPS whose [min, max] url_hash statistics contain one
+  of its keys (binary search per row group; runs are sorted so the
+  ranges are tight). Row-group statistics are cached per file in the
+  (reused) Python worker, so steady-state probes touch only data pages
+  that actually contain a probed key;
 - hits come back as a small distinct relation the engine anti-joins
   (AQE broadcasts it when small).
 
@@ -26,7 +31,9 @@ Per-round cost: shuffle O(maybe keys) + read O(row groups containing
 hits) ≈ O(maybe · log seen). The ledger itself never shuffles and is
 never fully read. Correctness does not depend on files being sorted
 (stats-based pruning is valid for any layout and the probe re-sorts
-each row group it reads) — sorting only makes pruning tight.
+each row group it reads) — sorting only makes pruning tight; nor on
+banding (an unbanded legacy run is handed to every band as a shared
+path set).
 """
 
 from __future__ import annotations
@@ -34,9 +41,27 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
-from crawler_spark.operators.bloom import shard_expr
-
 HASH_COL = "url_hash"
+
+
+def band_expr(hash_col: str, n_bands: int):
+    """Spark column: contiguous hash band of a 32-hex md5 key —
+    ``(int(hex[:8], 16) * n_bands) >> 32`` — i.e. the key space split
+    into ``n_bands`` equal CONTIGUOUS ranges (unlike the bloom store's
+    mod-P ``shard_expr``, which interleaves). Contiguity is what makes
+    a band's keys live in a band's files under a range-partitioned
+    sorted-run layout. Prefix arithmetic: 32-bit prefix × n_bands fits
+    a long for any sane band count."""
+    from pyspark.sql import functions as F
+
+    pref = F.conv(F.substring(hash_col, 1, 8), 16, 10).cast("long")
+    return F.shiftright(pref * F.lit(int(n_bands)), 32).cast("int")
+
+
+def band_of(key: str, n_bands: int) -> int:
+    """Python twin of :func:`band_expr` (same arithmetic, bit-exact)."""
+    return (int(key[:8], 16) * n_bands) >> 32
+
 
 # executor-side, per-worker-process (spark.python.worker.reuse keeps
 # workers alive): path -> list of (min, max) per row group, or None
@@ -46,13 +71,24 @@ HASH_COL = "url_hash"
 _RG_STATS_CACHE: dict[str, list[tuple[str, str] | None]] = {}
 
 
+def _local_path(path: str) -> str:
+    # iceberg metadata tables report file URIs; pyarrow wants plain
+    # paths for local files (object-store schemes would need a
+    # pyarrow filesystem — wire one here when running against s3/gcs)
+    if path.startswith("file://"):
+        return path[len("file://"):]
+    if path.startswith("file:"):
+        return path[len("file:"):]
+    return path
+
+
 def _file_rg_stats(path: str):
     import pyarrow.parquet as pq
 
     stats = _RG_STATS_CACHE.get(path)
     if stats is not None:
         return stats, None
-    pf = pq.ParquetFile(path)
+    pf = pq.ParquetFile(_local_path(path))
     names = pf.schema_arrow.names
     ci = names.index(HASH_COL)
     out: list[tuple[str, str] | None] = []
@@ -84,7 +120,7 @@ def _probe_file(path: str, keys: np.ndarray) -> np.ndarray:
                 continue
             sub = keys[left:right]
         if pf is None:
-            pf = pq.ParquetFile(path)
+            pf = pq.ParquetFile(_local_path(path))
         arr = (
             pf.read_row_group(i, columns=[HASH_COL])
             .column(0)
@@ -104,29 +140,60 @@ def _probe_file(path: str, keys: np.ndarray) -> np.ndarray:
 
 
 def seen_members(
-    keys_df, paths: list[str], n_groups: int, hash_col: str = HASH_COL
+    keys_df,
+    paths: list[str],
+    n_groups: int,
+    hash_col: str = HASH_COL,
+    band_paths: dict[int, list[str]] | None = None,
+    n_bands: int = 1,
 ):
     """DataFrame of the DISTINCT keys from ``keys_df`` that are present
-    in any of the given parquet run files.
+    in any probe-able run file.
 
-    ``paths`` is pinned at plan-build time (broadcast list, not a
-    directory listing), so cache-loss recomputation reads exactly the
-    same file set even if newer runs have landed since.
+    ``paths`` is the SHARED file set every key probes (loose level-0
+    ledger rounds; legacy unbanded runs). ``band_paths`` maps a hash
+    band (``band_expr(hash, n_bands)``) to the band's level-1 run
+    files: a task probing band b opens only ``band_paths[b] + paths``
+    — shard affinity, VERDICT r3 #3. Both path sets are pinned at
+    plan-build time (broadcast, not a directory listing), so
+    cache-loss recomputation reads exactly the same file set even if
+    newer runs have landed since.
+
+    Parallelism: keys group by (band, sub) where sub spreads each
+    band over ``ceil(n_groups / n_bands)`` subgroups, so the stage
+    runs ~``n_groups`` concurrent tasks regardless of band count.
     """
+    from pyspark.sql import functions as F
+
     spark = keys_df.sparkSession
-    bc = spark.sparkContext.broadcast(sorted(paths))
+    bands = {int(b): sorted(ps) for b, ps in (band_paths or {}).items()}
+    bc = spark.sparkContext.broadcast((bands, sorted(paths)))
+
+    if n_bands > 1:
+        band_c = band_expr(hash_col, n_bands)
+        replicate = max(1, -(-n_groups // n_bands))  # ceil div
+    else:
+        band_c = F.lit(0).cast("int")
+        replicate = max(1, n_groups)
+    sub_c = F.pmod(F.xxhash64(F.col(hash_col)), F.lit(replicate)).cast("int")
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
         keys = np.unique(pdf[hash_col].dropna().to_numpy().astype("U32"))
-        if keys.size == 0 or not bc.value:
+        band_map, shared = bc.value
+        if keys.size == 0:
             return pd.DataFrame({hash_col: pd.Series([], dtype=object)})
-        found = [_probe_file(p, keys) for p in bc.value]
+        band = int(pdf["_band"].iloc[0])
+        my_paths = band_map.get(band, []) + shared
+        if not my_paths:
+            return pd.DataFrame({hash_col: pd.Series([], dtype=object)})
+        found = [_probe_file(p, keys) for p in my_paths]
         out = np.unique(np.concatenate(found)) if found else np.empty(0, "U32")
         return pd.DataFrame({hash_col: out})
 
     return (
         keys_df.select(hash_col)
-        .withColumn("_g", shard_expr(hash_col, n_groups))
-        .groupBy("_g")
+        .withColumn("_band", band_c)
+        .withColumn("_sub", sub_c)
+        .groupBy("_band", "_sub")
         .applyInPandas(fn, f"{hash_col} string")
     )

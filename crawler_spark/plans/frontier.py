@@ -100,7 +100,7 @@ from crawler_spark.functions.parse import make_parse_udf
 from crawler_spark.functions.urlnorm import url_hash_expr, with_canon_host
 from crawler_spark.operators.bloom import ShardedBloom
 from crawler_spark.operators.robots import filter_robots_allowed, prepare_robots
-from crawler_spark.operators.seenstore import seen_members
+from crawler_spark.operators.seenstore import band_expr, seen_members
 from crawler_spark.sources.tableio import TableIO
 
 FRONTIER_SCHEMA = StructType(
@@ -206,12 +206,15 @@ class FrontierEngine:
         self._bloom_round: int | None = None  # current shard-store round
         self._folded_upto = 0  # last seen round folded into the store
         self._bloom_drop_pending: int | None = None  # old store, dropped at round end
-        # sorted-run compaction state (operators/seenstore.py): round
-        # of the newest `seen_runs` compacted run (None = probe reads
-        # ledger rounds only); old run dropped at round end like the
-        # bloom store (the persisted eligible may still reference it)
-        self._seen_runs_base: int | None = None
-        self._seen_runs_drop_pending: int | None = None
+        # sorted-run compaction state (operators/seenstore.py):
+        # round -> bands written at that compaction event (None = a
+        # legacy unbanded full run). A band's coverage = the newest
+        # round containing it; wave compaction rewrites one band group
+        # per event. Fully superseded rounds are dropped at round end
+        # like the bloom store (the persisted eligible may still
+        # reference their files).
+        self._seen_run_state: dict[int, list[int] | None] = {}
+        self._seen_runs_drop_pending: list[int] = []
         # rule names are per-task (RuleTree.Trunk per task); dispatch key
         # is "task\x00rule"
         self._flat_rules = {
@@ -236,6 +239,10 @@ class FrontierEngine:
         # materializes them, so delta-mode part reads must re-union it
         self._injected_df: DataFrame | None = None
         self._seen_count = 0
+        # round-0 seed snapshot overlapped with round 1 (see run()):
+        # the pending write future and the bounded single-round cache
+        self._seed_fut = None
+        self._seed_cache: DataFrame | None = None
         self._ranged_cache: DataFrame | None = None
         self._cand_cache: DataFrame | None = None
         self._tagged_cache: DataFrame | None = None
@@ -427,56 +434,122 @@ class FrontierEngine:
 
     # ---------------- sorted-run seen probe ----------------
     def _use_sorted_probe(self) -> bool:
-        # parquet mode only: the probe reads row groups by path; with
-        # Iceberg the equivalent layout is the table's own
-        # bucketed+sorted spec (sources/tableio.py docstring)
-        return self.cfg.sorted_seen_probe and self.io.mode == "parquet"
+        # both table modes: parquet rounds are listed from the round
+        # dir, iceberg data files come from the table's `.files`
+        # metadata table (sources/tableio.py round_files) — the probe
+        # itself reads row groups by path either way
+        return self.cfg.sorted_seen_probe
 
-    def _seen_run_paths(self) -> list[str]:
-        """Current probe file set: the newest compacted run (covers
-        rounds ≤ its round) plus every ledger round after it. Pinned
-        into the probe plan as literal paths — concurrent writes or
-        deferred drops never shift a built plan."""
-        paths: list[str] = []
-        base = self._seen_runs_base
-        if base is not None:
-            paths += self.io.round_files("seen_runs", base)
+    def _band_cover(self, band: int) -> int:
+        """Newest run round covering ``band`` (0 = none): seen rounds
+        ≤ this are folded into the band's level-1 run files."""
+        rs = [
+            r
+            for r, bands in self._seen_run_state.items()
+            if bands is None or band in bands
+        ]
+        return max(rs) if rs else 0
+
+    def _seen_run_paths(self) -> tuple[dict[int, list[str]], list[str]]:
+        """Current probe file sets: per-band level-1 run files (a probe
+        task opens ONLY its band's) plus the shared loose ledger rounds
+        newer than the oldest band coverage. Pinned into the probe plan
+        as literal paths — concurrent writes or deferred drops never
+        shift a built plan. A band with coverage newer than the oldest
+        re-reads a few already-folded loose rounds; duplicate hits are
+        harmless to a membership probe."""
+        B = max(1, self.cfg.seen_bands)
+        band_paths: dict[int, list[str]] = {}
+        covers = []
+        for b in range(B):
+            c = self._band_cover(b)
+            covers.append(c)
+            if c:
+                bands = self._seen_run_state[c]
+                band_paths[b] = (
+                    self.io.round_files("seen_runs", c)
+                    if bands is None
+                    else self.io.round_files("seen_runs", c, band=b)
+                )
+        min_cover = min(covers)
+        shared: list[str] = []
         for r in self.io.rounds("seen"):
-            if base is None or r > base:
-                paths += self.io.round_files("seen", r)
-        return paths
+            if r > min_cover:
+                shared += self.io.round_files("seen", r)
+        return band_paths, shared
 
     def _maybe_compact_seen(self, rnd: int) -> None:
-        """LSM compaction: when more than ``seen_compact_every`` ledger
-        rounds have accumulated past the newest run, merge everything
-        ≤ rnd into a few large sorted files. Runs inside the overlapped
-        seen chain; amortized O(seen / k) per round."""
+        """Leveled LSM compaction in band waves (VERDICT r3 #3): every
+        ~``seen_compact_every / waves`` loose ledger rounds, merge the
+        most-stale 1/waves of the hash bands — their current run files
+        plus the loose rounds — into a fresh band-partitioned sorted
+        run at round ``rnd``. Each band still compacts about every
+        ``seen_compact_every`` rounds, but the largest single write
+        wave is O(seen / waves), never a full-seen rewrite. Runs inside
+        the overlapped seen chain."""
         k = self.cfg.seen_compact_every
         if not self._use_sorted_probe() or k <= 0:
             return
-        base = self._seen_runs_base or 0
-        n_loose = sum(1 for r in self.io.rounds("seen") if r > base)
-        if n_loose <= k:
+        W = max(1, self.cfg.seen_compact_waves)
+        B = max(1, self.cfg.seen_bands)
+        newest = max(self._seen_run_state, default=0)
+        n_loose = sum(1 for r in self.io.rounds("seen") if r > newest)
+        if n_loose <= max(1, k // W):
             return
         self._jd("seen-compact")
         seen_all = self._read_seen_upto(rnd)
         if seen_all is None:
             return
-        n_files = max(1, min(16, self._seen_count // 2_000_000 + 1))
+        groups = [[b for b in range(B) if b % W == g] for g in range(W)]
+        g = min(range(W), key=lambda i: min(self._band_cover(b) for b in groups[i]))
+        bands = groups[g]
+        min_base = min(self._band_cover(b) for b in bands)
+        # inputs: the group's current run files + ledger rounds past
+        # the group's oldest base, both filtered to the group's bands
+        # (the filter is required for legacy unbanded run files and the
+        # ledger; harmless for already-banded files)
+        run_paths: set[str] = set()
+        for b in bands:
+            c = self._band_cover(b)
+            if c:
+                bs = self._seen_run_state[c]
+                run_paths.update(
+                    self.io.round_files("seen_runs", c)
+                    if bs is None
+                    else self.io.round_files("seen_runs", c, band=b)
+                )
+        be = band_expr("url_hash", B)
+        in_group = F.pmod(be, F.lit(W)) == g
+        part = seen_all.filter(F.col("round") > min_base).select("url_hash").filter(
+            in_group
+        )
+        if run_paths:
+            old = (
+                self.spark.read.parquet(*sorted(run_paths))
+                .select("url_hash")
+                .filter(in_group)
+            )
+            part = part.unionByName(old)
+        n_files = max(
+            len(bands), min(16, self._seen_count // (W * 2_000_000) + 1)
+        )
         self.io.write_round(
-            seen_all.select("url_hash"),
+            part.withColumn("band", be),
             "seen_runs",
             rnd,
             n_files=n_files,
             sort_within="url_hash",
+            partition_col="band",
         )
-        old = self._seen_runs_base
-        self._seen_runs_base = rnd
-        if old is not None:
-            # deferred: this round's persisted eligible may still
-            # reference the old run's files (same pattern as the
-            # bloom store drop)
-            self._seen_runs_drop_pending = old
+        self._seen_run_state[rnd] = list(bands)
+        # runs that no longer provide any band's newest coverage are
+        # dead; deferred to round end — this round's persisted eligible
+        # may still reference their files (same pattern as the bloom
+        # store drop)
+        referenced = {self._band_cover(b) for b in range(B)} - {0}
+        for r in [r for r in self._seen_run_state if r not in referenced]:
+            del self._seen_run_state[r]
+            self._seen_runs_drop_pending.append(r)
 
     # ---------------- seeds ----------------
     def seed_frontier(self) -> DataFrame:
@@ -585,10 +658,13 @@ class FrontierEngine:
                     # below was the last per-round full-ledger cost at
                     # spec scale (VERDICT r2 #1). `hits` is bounded by
                     # the maybe keys; AQE broadcasts the anti-join.
+                    band_paths, shared = self._seen_run_paths()
                     hits = seen_members(
                         maybe.select("url_hash"),
-                        self._seen_run_paths(),
+                        shared,
                         self.cfg.num_partitions,
+                        band_paths=band_paths,
+                        n_bands=self.cfg.seen_bands,
                     )
                     checked = maybe.join(hits, "url_hash", "left_anti")
                 else:
@@ -1124,11 +1200,15 @@ class FrontierEngine:
             self._folded_upto = 0
             self._bloom_drop_pending = None
             # surviving compacted runs ≤ snapshot_round cover only
-            # retained ledger rounds — still valid; probe resumes from
-            # the newest one
-            runs = self.io.rounds("seen_runs")
-            self._seen_runs_base = max(runs) if runs else None
-            self._seen_runs_drop_pending = None
+            # retained ledger rounds — still valid; per-band coverage
+            # rebuilds from the band=* layout, no manifest needed
+            # (rounds a pending drop never removed are harmless: a
+            # superseded run is extra coverage, never wrong answers)
+            self._seen_run_state = {
+                r: (self.io.run_bands("seen_runs", r) or None)
+                for r in self.io.rounds("seen_runs")
+            }
+            self._seen_runs_drop_pending = []
             self._seen_count = seen.count() if seen is not None else 0
         else:
             if os.path.exists(self.workdir):
@@ -1138,8 +1218,30 @@ class FrontierEngine:
             seeds = self.seed_frontier()
             self.setup_breakdown = {"seed_build": round(_time.time() - _t_seedgen, 2)}
             _t_snap = _time.time()
-            frontier = self._materialize_frontier(seeds, 0)
-            self.setup_breakdown["seed_snapshot"] = round(_time.time() - _t_snap, 2)
+            if self.cfg.overlap_seen_write and not self._pending_seeds:
+                # overlap the round-0 seed snapshot with round 1: the
+                # write is only needed on disk once a later round reads
+                # frontier parts (delta mode) or rewrites the base, so
+                # round 1 selects from a persisted copy of the seed
+                # relation while the background worker writes the
+                # snapshot — 7-10 s of serial pre-loop wall hidden
+                # behind round-1 select (BASELINE.md setup attribution).
+                # Bounded single-round cache, unpersisted at the end of
+                # round 1 (NOT the forbidden cross-round frontier
+                # persist — see CLAUDE.md); the write future is joined
+                # before any frontier-table access.
+                seeds = seeds.persist()
+                self._seed_cache = seeds
+                self._seed_fut = self._bg_pool().submit(
+                    self._materialize_frontier, seeds, 0
+                )
+                frontier = seeds
+                self.setup_breakdown["seed_snapshot"] = 0.0  # overlapped
+            else:
+                frontier = self._materialize_frontier(seeds, 0)
+                self.setup_breakdown["seed_snapshot"] = round(
+                    _time.time() - _t_snap, 2
+                )
             seen = None
             self.round = 0
             self._base_round = 0
@@ -1488,6 +1590,12 @@ class FrontierEngine:
             # retry tombstones to exclude consumed rows, Iceberg-v2
             # merge-on-read style. Durable checkpoints force a base so
             # resume state stays one self-contained snapshot.
+            if self._seed_fut is not None:
+                # the overlapped round-0 snapshot must be on disk (and
+                # its bookkeeping settled) before this round touches
+                # the frontier table — base rewrite or delta-parts read
+                self._seed_fut.result()
+                self._seed_fut = None
             children = self._children(parsed)
             base_due = (
                 self.cfg.frontier_base_every <= 1
@@ -1582,12 +1690,17 @@ class FrontierEngine:
             if self._tagged_cache is not None:
                 self._tagged_cache.unpersist()
                 self._tagged_cache = None
+            if self._seed_cache is not None:
+                # single-round seed cache (overlapped round-0 snapshot):
+                # the frontier relation is file-backed from here on
+                self._seed_cache.unpersist()
+                self._seed_cache = None
             if self._bloom_drop_pending is not None:
                 self.io.drop_round("bloom", self._bloom_drop_pending)
                 self._bloom_drop_pending = None
-            if self._seen_runs_drop_pending is not None:
-                self.io.drop_round("seen_runs", self._seen_runs_drop_pending)
-                self._seen_runs_drop_pending = None
+            for r in self._seen_runs_drop_pending:
+                self.io.drop_round("seen_runs", r)
+            self._seen_runs_drop_pending = []
             _t_end = _time.time()
 
             self.metrics.append(
@@ -1617,6 +1730,15 @@ class FrontierEngine:
             )
             self._write_manifest()
 
+        if self._seed_fut is not None:
+            # loop exited before round 1 settled the overlapped seed
+            # snapshot (empty first batch / max_rounds=0): the write
+            # must land before anything reads the frontier table
+            self._seed_fut.result()
+            self._seed_fut = None
+        if self._seed_cache is not None:
+            self._seed_cache.unpersist()
+            self._seed_cache = None
         if self._delta_rounds:
             # the run ended mid-delta-window: fold base ∪ deltas minus
             # the tombstone delete-set into one self-contained base at

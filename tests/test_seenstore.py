@@ -93,7 +93,7 @@ def test_seen_members_empty_store_and_empty_probe(spark, workdir):
 
 
 def test_engine_with_compaction_matches_oracle(spark, small_pdf, workdir):
-    """Engaged prefilter + sorted probe + LSM compaction every 2
+    """Engaged prefilter + sorted probe + wave LSM compaction every 2
     rounds (plus retries via reload): crawl order, seen set, and items
     must stay bit-identical with the executable spec."""
     tasks = [generic_task(max_depth=3)]
@@ -101,15 +101,47 @@ def test_engine_with_compaction_matches_oracle(spark, small_pdf, workdir):
     cfg = EngineConfig(
         batch_size=8, num_partitions=4, max_rounds=20, use_bloom=True,
         bloom_capacity=1 << 14, bloom_min_seen=0, bloom_shards=4,
-        seen_compact_every=2,
+        seen_compact_every=2, seen_bands=8, seen_compact_waves=4,
     )
     eng = FrontierEngine(spark, tasks, corpus_df, cfg, workdir=workdir)
     eng.run(max_rounds=20)
     oracle = run_oracle(tasks, small_pdf, batch_size=8, max_rounds=20)
     assert_equivalent(eng, oracle)
-    # compaction actually happened (runs table exists with one base)
-    assert eng._seen_runs_base is not None
-    assert eng.io.rounds("seen_runs") == [eng._seen_runs_base]
+    # compaction actually happened; on-disk runs == in-memory state,
+    # every run is band-partitioned, and probe affinity holds: a
+    # band's path list contains only its own band=<b> files
+    assert eng._seen_run_state
+    assert eng.io.rounds("seen_runs") == sorted(eng._seen_run_state)
+    for r, bands in eng._seen_run_state.items():
+        assert bands is not None
+        assert eng.io.run_bands("seen_runs", r) == sorted(bands)
+    band_paths, shared = eng._seen_run_paths()
+    for b, paths in band_paths.items():
+        assert paths and all(f"band={b}/" in p for p in paths), (b, paths)
+    # shared loose set = ledger rounds past the OLDEST band coverage
+    min_cover = min(eng._band_cover(b) for b in range(cfg.seen_bands))
+    loose = [r for r in eng.io.rounds("seen") if r > min_cover]
+    assert shared == [p for r in loose for p in eng.io.round_files("seen", r)]
+
+
+def test_engine_single_wave_compaction_matches_oracle(spark, small_pdf, workdir):
+    """seen_compact_waves=1 = compact every band at once (the round-3
+    cadence over the banded layout): still oracle-exact, and the runs
+    table converges to one fully-covering round."""
+    tasks = [generic_task(max_depth=3)]
+    corpus_df = spark.createDataFrame(small_pdf, CORPUS_SCHEMA)
+    cfg = EngineConfig(
+        batch_size=8, num_partitions=4, max_rounds=20, use_bloom=True,
+        bloom_capacity=1 << 14, bloom_min_seen=0, bloom_shards=4,
+        seen_compact_every=2, seen_bands=4, seen_compact_waves=1,
+    )
+    eng = FrontierEngine(spark, tasks, corpus_df, cfg, workdir=workdir)
+    eng.run(max_rounds=20)
+    oracle = run_oracle(tasks, small_pdf, batch_size=8, max_rounds=20)
+    assert_equivalent(eng, oracle)
+    assert len(eng._seen_run_state) == 1
+    (bands,) = eng._seen_run_state.values()
+    assert sorted(bands) == list(range(4))
 
 
 def test_engine_probe_off_same_result(spark, small_pdf, workdir):
@@ -126,3 +158,74 @@ def test_engine_probe_off_same_result(spark, small_pdf, workdir):
     eng.run(max_rounds=20)
     oracle = run_oracle(tasks, small_pdf, batch_size=8, max_rounds=20)
     assert_equivalent(eng, oracle)
+
+
+def test_band_expr_matches_python_twin(spark):
+    from crawler_spark.operators.seenstore import band_expr, band_of
+
+    keys = _hashes(7, 200)
+    df = spark.createDataFrame(pd.DataFrame({"url_hash": keys}))
+    for n_bands in (1, 4, 16):
+        got = {
+            r["url_hash"]: r["b"]
+            for r in df.select(
+                "url_hash", band_expr("url_hash", n_bands).alias("b")
+            ).collect()
+        }
+        for k in keys:
+            assert got[k] == band_of(k, n_bands), (k, n_bands)
+        assert all(0 <= v < n_bands for v in got.values())
+
+
+def test_seen_members_band_affinity_exact(spark, workdir):
+    """Band-partitioned probe: keys find members through their band's
+    files + the shared loose set, and NEVER need another band's files
+    (each band's members removed from the broadcast map must only lose
+    that band's hits)."""
+    from crawler_spark.operators.seenstore import band_of, seen_members
+
+    n_bands = 4
+    stored = _hashes(8, 400)
+    loose = _hashes(9, 100)
+    absent = _hashes(10, 100)
+    io = TableIO(spark, workdir, mode="parquet")
+    from crawler_spark.operators.seenstore import band_expr
+
+    df = spark.createDataFrame(pd.DataFrame({"url_hash": stored}))
+    io.write_round(
+        df.withColumn("band", band_expr("url_hash", n_bands)),
+        "seen_runs", 5, n_files=n_bands, sort_within="url_hash",
+        partition_col="band",
+    )
+    io.write_round(
+        spark.createDataFrame(pd.DataFrame({"url_hash": loose})),
+        "seen", 6, n_files=1, sort_within="url_hash",
+    )
+    assert io.run_bands("seen_runs", 5) == list(range(n_bands))
+    band_paths = {
+        b: io.round_files("seen_runs", 5, band=b) for b in range(n_bands)
+    }
+    assert all(band_paths[b] for b in range(n_bands))
+    shared = io.round_files("seen", 6)
+    probe = spark.createDataFrame(
+        pd.DataFrame({"url_hash": stored[::3] + loose[::2] + absent})
+    )
+    got = sorted(
+        r["url_hash"]
+        for r in seen_members(
+            probe, shared, 4, band_paths=band_paths, n_bands=n_bands
+        ).collect()
+    )
+    assert got == sorted(set(stored[::3]) | set(loose[::2]))
+    # drop band 0's files from the map: exactly band 0's stored keys
+    # disappear (loose hits stay — shared set probed by every band)
+    partial = {b: p for b, p in band_paths.items() if b != 0}
+    got2 = {
+        r["url_hash"]
+        for r in seen_members(
+            probe, shared, 4, band_paths=partial, n_bands=n_bands
+        ).collect()
+    }
+    lost = set(got) - got2
+    assert lost == {k for k in stored[::3] if band_of(k, n_bands) == 0}
+    assert set(loose[::2]) <= got2

@@ -108,7 +108,7 @@ class _FakeWriterV2:
     def __init__(self, store, df, tbl):
         self._store, self._df, self._tbl = store, df, tbl
 
-    def partitionedBy(self, col):
+    def partitionedBy(self, *cols):
         return self
 
     def create(self):

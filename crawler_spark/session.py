@@ -63,7 +63,16 @@ def get_spark(
         .config("spark.driver.bindAddress", "127.0.0.1")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.default.parallelism", str(cores))
-        .config("spark.sql.adaptive.enabled", "true")
+        # AQE on by default (runtime re-plan + skew-join mitigation —
+        # what you want at 100 TB). SPARK_GRAFT_AQE=0 is an A/B knob
+        # for the scaling harness: AQE materializes query stages one
+        # by one, and at the engine's bounded per-round plan shapes
+        # the per-stage driver re-planning shows up as jobs/round ×
+        # scheduling gaps (BENCH/jobgaps); the knob measures that cost
+        # without changing any engine dataflow.
+        .config("spark.sql.adaptive.enabled",
+                "false" if os.environ.get("SPARK_GRAFT_AQE", "1") == "0"
+                else "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")

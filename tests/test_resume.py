@@ -69,3 +69,28 @@ def test_resume_crossing_bloom_threshold(spark, tmp_path):
     the resumed run: first engagement must backfill every earlier
     round (the ADVICE r1 false-negative scenario)."""
     _resume_roundtrip(spark, _pdf(), tmp_path, bloom_min_seen=30)
+
+
+def test_resume_with_changed_band_count_is_exact(spark, tmp_path):
+    """seen_runs band=<b> dirs map hash ranges to directories only
+    under the seen_bands they were written with (ADVICE r4 medium): a
+    resume with a DIFFERENT band count must detect the mismatch via
+    the manifest and fall back to the loose seen ledger (dropping the
+    runs) instead of probing the wrong band dirs — which would return
+    false negatives and silently re-crawl seen URLs."""
+    import json
+    import os
+
+    kw = dict(bloom_min_seen=0, seen_compact_every=2, seen_bands=8,
+              seen_compact_waves=2)
+    full = _mk(spark, _pdf(), str(tmp_path / "full"), **kw)
+    full.run(max_rounds=6)
+    part = _mk(spark, _pdf(), str(tmp_path / "part"), **kw)
+    part.run(max_rounds=3)
+    assert part._seen_run_state, "compaction must have produced runs"
+    with open(os.path.join(str(tmp_path / "part"), "manifest.json")) as f:
+        assert json.load(f)["seen_bands"] == 8
+    resumed = _mk(spark, _pdf(), str(tmp_path / "part"),
+                  **dict(kw, seen_bands=4))
+    resumed.run(max_rounds=3, resume=True)
+    assert _state(resumed) == _state(full)

@@ -116,12 +116,27 @@ def test_engine_with_compaction_matches_oracle(spark, small_pdf, workdir):
         assert bands is not None
         assert eng.io.run_bands("seen_runs", r) == sorted(bands)
     band_paths, shared = eng._seen_run_paths()
-    for b, paths in band_paths.items():
-        assert paths and all(f"band={b}/" in p for p in paths), (b, paths)
-    # shared loose set = ledger rounds past the OLDEST band coverage
-    min_cover = min(eng._band_cover(b) for b in range(cfg.seen_bands))
-    loose = [r for r in eng.io.rounds("seen") if r > min_cover]
-    assert shared == [p for r in loose for p in eng.io.round_files("seen", r)]
+    assert shared == []  # per-band loose cutoffs: no global shared set
+    assert any(eng._band_cover(b) for b in range(cfg.seen_bands))
+    for b in range(cfg.seen_bands):
+        paths = band_paths[b]
+        run_ps = [p for p in paths if "/seen_runs/" in p]
+        loose_ps = [p for p in paths if "/seen/" in p]
+        cover = eng._band_cover(b)
+        if cover:
+            assert run_ps and all(f"band={b}/" in p for p in run_ps), (b, run_ps)
+        else:
+            # this band's wave hasn't run yet: no run files, all loose
+            assert run_ps == []
+        # a band's loose list = ledger rounds past ITS OWN coverage,
+        # not the global min cover (VERDICT r4 wrong #3)
+        want = [
+            p
+            for r in eng.io.rounds("seen")
+            if r > cover
+            for p in eng.io.round_files("seen", r)
+        ]
+        assert loose_ps == want, b
 
 
 def test_engine_single_wave_compaction_matches_oracle(spark, small_pdf, workdir):
@@ -229,3 +244,180 @@ def test_seen_members_band_affinity_exact(spark, workdir):
     lost = set(got) - got2
     assert lost == {k for k in stored[::3] if band_of(k, n_bands) == 0}
     assert set(loose[::2]) <= got2
+
+
+def test_probe_file_through_injected_filesystem(tmp_path):
+    """Object-store seam (VERDICT r4 missing #1): a scheme'd run-file
+    path must resolve through a pyarrow FileSystem (injected here; a
+    real s3://… resolves the same way via FileSystem.from_uri) instead
+    of the old file:-strip that only worked on local disks."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyarrow import fs as pafs
+
+    from crawler_spark.operators import seenstore
+
+    keys = sorted(f"{i:032x}" for i in range(100))
+    p = str(tmp_path / "run.parquet")
+    pq.write_table(pa.table({"url_hash": keys}), p)
+    seenstore._FS_OVERRIDE["mockfs"] = pafs.LocalFileSystem()
+    try:
+        got = seenstore._probe_file(
+            f"mockfs://{p}", np.array(keys[::7], dtype="U32")
+        )
+        assert sorted(got) == keys[::7]
+        # stats were cached under the scheme'd path
+        assert f"mockfs://{p}" in seenstore._RG_STATS_CACHE
+    finally:
+        seenstore._FS_OVERRIDE.clear()
+        seenstore._RG_STATS_CACHE.pop(f"mockfs://{p}", None)
+
+
+def test_rg_stats_cache_bounded_by_live_path_set(tmp_path):
+    """VERDICT r4 wrong #2: the per-worker row-group-stats cache must
+    evict entries for files that left the probe plan's path set (dead
+    post-compaction runs) — probing two successive run generations
+    leaves only the live generation cached."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from crawler_spark.operators import seenstore
+
+    def _write(name, keys):
+        p = str(tmp_path / name)
+        pq.write_table(pa.table({"url_hash": sorted(keys)}), p)
+        return p
+
+    gen1 = [_write("g1_a.parquet", _hashes(20, 50)),
+            _write("g1_b.parquet", _hashes(21, 50))]
+    gen2 = [_write("g2_a.parquet", _hashes(22, 50))]
+    probe = pd.DataFrame({"url_hash": _hashes(23, 30), "_band": 0})
+
+    seenstore._RG_STATS_CACHE.clear()
+    seenstore._probe_batch(probe, "url_hash", {0: gen1}, [])
+    assert set(seenstore._RG_STATS_CACHE) == set(gen1)
+    seenstore._probe_batch(probe, "url_hash", {0: gen2}, [])
+    assert set(seenstore._RG_STATS_CACHE) == set(gen2)  # gen1 evicted
+    seenstore._RG_STATS_CACHE.clear()
+
+
+def _boundary_prefixes(n_bands):
+    """32-bit md5 prefixes straddling every band increment of
+    ``(prefix * n_bands) >> 32`` plus the absolute edges."""
+    outs = set()
+    for k in range(n_bands + 1):
+        p = (k << 32) // n_bands
+        for d in (-1, 0, 1):
+            outs.add(min(max(p + d, 0), 0xFFFFFFFF))
+    return outs
+
+
+def test_band_arithmetic_fuzz_jvm_equals_python():
+    """VERDICT r4 next #7 (driver-side half): band_of stays in range
+    and is exactly the prefix arithmetic at every band boundary."""
+    from crawler_spark.operators.seenstore import band_of
+
+    for B in (1, 3, 16, 256):
+        for p in _boundary_prefixes(B):
+            for suffix in ("0" * 24, "f" * 24):
+                k = f"{p:08x}" + suffix
+                b = band_of(k, B)
+                assert 0 <= b < B, (k, B, b)
+                assert b == (p * B) >> 32
+
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=12, deadline=None)
+    @given(st.lists(st.integers(0, 0xFFFFFFFF), min_size=1, max_size=40))
+    def test_band_expr_fuzz_matches_python_twin(spark, prefixes):
+        """Hypothesis fuzz (VERDICT r4 next #7): the JVM band
+        expression and the Python twin agree on random AND
+        boundary-straddling md5 prefixes for B ∈ {1, 3, 16, 256}."""
+        from crawler_spark.operators.seenstore import band_expr, band_of
+
+        bands_set = (1, 3, 16, 256)
+        prefs = set(prefixes)
+        for B in bands_set:
+            prefs |= _boundary_prefixes(B)
+        keys = [f"{p:08x}" + "0" * 24 for p in prefs] + [
+            f"{p:08x}" + "f" * 24 for p in prefs
+        ]
+        df = spark.createDataFrame(pd.DataFrame({"url_hash": keys}))
+        rows = df.select(
+            "url_hash",
+            *[band_expr("url_hash", B).alias(f"b{B}") for B in bands_set],
+        ).collect()
+        assert len(rows) == len(keys)
+        for r in rows:
+            for B in bands_set:
+                assert r[f"b{B}"] == band_of(r["url_hash"], B), (
+                    r["url_hash"], B,
+                )
+except ImportError:  # pragma: no cover - hypothesis is baked in
+    pass
+
+
+def test_seen_members_banded_legacy_mix_boundary_keys(spark, workdir):
+    """Membership exactness when a banded run, a LEGACY unbanded run,
+    and loose ledger rounds coexist, probed with band-boundary keys
+    (VERDICT r4 next #7, membership half)."""
+    from crawler_spark.operators.seenstore import band_expr, band_of, seen_members
+
+    B = 4
+    banded_keys = sorted(f"{p:08x}" + "c" * 24 for p in _boundary_prefixes(B))
+    legacy_keys = _hashes(24, 60)
+    loose_keys = _hashes(25, 40)
+    absent = _hashes(26, 30)
+    io = TableIO(spark, workdir, mode="parquet")
+    df_b = spark.createDataFrame(pd.DataFrame({"url_hash": banded_keys}))
+    io.write_round(
+        df_b.withColumn("band", band_expr("url_hash", B)),
+        "seen_runs", 5, n_files=B, sort_within="url_hash",
+        partition_col="band",
+    )
+    df_l = spark.createDataFrame(pd.DataFrame({"url_hash": legacy_keys}))
+    io.write_round(df_l, "seen_runs", 3, n_files=1, sort_within="url_hash")
+    df_o = spark.createDataFrame(pd.DataFrame({"url_hash": loose_keys}))
+    io.write_round(df_o, "seen", 6, n_files=1, sort_within="url_hash")
+    legacy_files = io.round_files("seen_runs", 3)
+    loose_files = io.round_files("seen", 6)
+    band_paths = {
+        b: io.round_files("seen_runs", 5, band=b) + legacy_files + loose_files
+        for b in range(B)
+    }
+    probe_keys = banded_keys + legacy_keys[::2] + loose_keys[::3] + absent
+    probe = spark.createDataFrame(pd.DataFrame({"url_hash": probe_keys}))
+    got = sorted(
+        r["url_hash"]
+        for r in seen_members(
+            probe, [], 4, band_paths=band_paths, n_bands=B
+        ).collect()
+    )
+    want = sorted(set(banded_keys) | set(legacy_keys[::2]) | set(loose_keys[::3]))
+    assert got == want
+    # and band affinity still holds for the banded run's files
+    for b in range(B):
+        for k in banded_keys:
+            if band_of(k, B) == b:
+                assert any(f"band={b}/" in p for p in band_paths[b])
+
+
+def test_engine_more_waves_than_bands_clamped(spark, small_pdf, workdir):
+    """ADVICE r4: seen_compact_waves > seen_bands used to leave empty
+    wave groups and raise ValueError (min of empty) at the first
+    compaction; the clamp must keep the run oracle-exact."""
+    tasks = [generic_task(max_depth=3)]
+    corpus_df = spark.createDataFrame(small_pdf, CORPUS_SCHEMA)
+    cfg = EngineConfig(
+        batch_size=8, num_partitions=4, max_rounds=20, use_bloom=True,
+        bloom_capacity=1 << 14, bloom_min_seen=0, bloom_shards=4,
+        seen_compact_every=2, seen_bands=2, seen_compact_waves=8,
+    )
+    eng = FrontierEngine(spark, tasks, corpus_df, cfg, workdir=workdir)
+    eng.run(max_rounds=20)
+    oracle = run_oracle(tasks, small_pdf, batch_size=8, max_rounds=20)
+    assert_equivalent(eng, oracle)
+    assert eng._seen_run_state

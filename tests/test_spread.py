@@ -63,6 +63,34 @@ def test_single_file_input_still_spreads(spark, workdir):
     assert "Exchange hashpartitioning(doc_id" in plan, plan
 
 
+def test_single_large_splittable_file_passes_through(spark, workdir):
+    """ADVICE r4: ONE big parquet file already scans in parallel
+    (FilePartition splits it at maxPartitionBytes), so the guard must
+    estimate splits from file size, not just count files — otherwise
+    the exact full-corpus shuffle VERDICT r3 #1 removed comes back for
+    the single-large-file layout."""
+    docs = _write_docs(spark, os.path.join(workdir, "docs_big1"), n_files=1)
+    assert len(docs.inputFiles()) == 1
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "256b")
+    try:
+        plan = _executed(spread(docs, "doc_id"))
+        assert "Exchange" not in plan.replace("BroadcastExchange", ""), plan
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+
+
+def test_parse_bytes_size_conf_forms():
+    from crawler_spark.operators.util import _parse_bytes
+
+    assert _parse_bytes("134217728") == 128 << 20
+    assert _parse_bytes("134217728b") == 128 << 20
+    assert _parse_bytes("128m") == 128 << 20
+    assert _parse_bytes("128mb") == 128 << 20
+    assert _parse_bytes("1g") == 1 << 30
+    assert _parse_bytes("4k") == 4096
+
+
 def test_in_memory_input_spreads(spark):
     """Non-file plans report no input files and take the repartition
     (driver-built local relations are small by construction)."""
